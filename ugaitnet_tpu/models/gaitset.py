@@ -1,0 +1,112 @@
+"""GaitSet-style set-pooling branch with horizontal pyramid pooling.
+
+Flax re-design of `UWYHSemiNet.build_gaitset_branch`
+(/root/reference/nets/mj_uwyhNets_ba.py:419-484):
+
+  frame stream (a):  per-frame 2D convs (TimeDistributed in Keras); here the
+      time axis folds into the batch axis so every conv is one big NHWC conv
+      on the MXU — (B*T, H, W, C) instead of a per-frame loop.
+  set stream (b):    max over time ("set pooling") at three depths, with
+      residual adds from the frame stream.
+  HPP:               horizontal pyramid pooling with bins (1,2,4,8,16) over
+      both streams — each bin is a strip of rows of the 16x16 map, reduced by
+      mean+max (mj_uwyhNets_ba.py:467-478). 2*31 = 62 parts of 128 dims.
+  part projection:   trainable (62, 128, 256) tensor applied per part — the
+      reference's custom MatMul layer (:23-48) — implemented as a single
+      batched einsum so all 62 projections are one MXU call.
+
+Output is batch-major (B, 62, 256); the reference keeps (62, B, 256) and we
+transpose only where parity requires (see ops/fusion.signature).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+glorot = nn.initializers.glorot_uniform()
+
+
+class GaitSetBranch(nn.Module):
+    channels: Tuple[int, int, int] = (32, 64, 128)
+    hpp_bins: Sequence[int] = (1, 2, 4, 8, 16)
+    part_dim: int = 256
+    leaky_alpha: float = 0.3
+    pad: int = 2          # ZeroPadding2D(2): 60 -> 64 so pools/bins divide
+    dtype: jnp.dtype = jnp.float32
+
+    def _conv(self, f: int, k: int, name: str):
+        return nn.Conv(f, (k, k), padding="SAME", use_bias=False,
+                       kernel_init=glorot, dtype=self.dtype, name=name)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        """x: (B, T, H, W, C) -> (B, num_parts, part_dim)."""
+        lrelu = lambda v: nn.leaky_relu(v, negative_slope=self.leaky_alpha)
+        b, t, h, w, c = x.shape
+        c1, c2, c3 = self.channels
+
+        x = jnp.pad(x, ((0, 0), (0, 0), (self.pad, self.pad),
+                        (self.pad, self.pad), (0, 0)))
+        h, w = h + 2 * self.pad, w + 2 * self.pad
+
+        # --- frame stream, stage 1 (TimeDistributed == fold T into batch)
+        a = x.reshape(b * t, h, w, c)
+        a = lrelu(self._conv(c1, 5, "a_conv1")(a))
+        a = lrelu(self._conv(c1, 3, "a_conv2")(a))
+        a = nn.max_pool(a, (2, 2), strides=(2, 2))            # (B*T, 32, 32, c1)
+        hw = h // 2
+
+        # --- set stream, stage 1
+        sb = jnp.max(a.reshape(b, t, hw, hw, c1), axis=1)      # set pool
+        sb = lrelu(self._conv(c2, 3, "b_conv1")(sb))
+        sb = lrelu(self._conv(c2, 3, "b_conv2")(sb))
+        sb = nn.max_pool(sb, (2, 2), strides=(2, 2))           # (B, 16, 16, c2)
+
+        # --- frame stream, stage 2
+        a = lrelu(self._conv(c2, 3, "a_conv3")(a))
+        a = lrelu(self._conv(c2, 3, "a_conv4")(a))
+        a = nn.max_pool(a, (2, 2), strides=(2, 2))             # (B*T, 16, 16, c2)
+        hw = hw // 2
+
+        sb = sb + jnp.max(a.reshape(b, t, hw, hw, c2), axis=1)  # residual add
+        sb = lrelu(self._conv(c3, 3, "b_conv3")(sb))
+        sb = lrelu(self._conv(c3, 3, "b_conv4")(sb))            # (B, 16, 16, c3)
+
+        # --- frame stream, stage 3 + final set pool
+        a = lrelu(self._conv(c3, 3, "a_conv5")(a))
+        a = lrelu(self._conv(c3, 3, "a_conv6")(a))
+        sa = jnp.max(a.reshape(b, t, hw, hw, c3), axis=1)       # (B, 16, 16, c3)
+
+        sb = sb + sa
+
+        # --- HPP on both streams, interleaved (a_bin, b_bin) per bin size
+        # exactly like the reference's feature list (mj_uwyhNets_ba.py:468-480).
+        feats = []
+        for nb in self.hpp_bins:
+            feats.append(_hpp(sa, nb))
+            feats.append(_hpp(sb, nb))
+        parts = jnp.concatenate(feats, axis=1)                  # (B, 62, c3)
+
+        # --- per-part projection: one einsum over all parts (MatMul parity).
+        kernel = self.param(
+            "part_proj", glorot,
+            (parts.shape[1], parts.shape[2], self.part_dim), jnp.float32)
+        out = jnp.einsum("bpc,pcd->bpd", parts.astype(self.dtype),
+                         kernel.astype(self.dtype),
+                         preferred_element_type=jnp.float32)
+        return out.astype(jnp.float32)
+
+
+def _hpp(fmap: jax.Array, num_bin: int) -> jax.Array:
+    """One pyramid level: (B, H, W, C) -> (B, num_bin, C), mean+max per strip.
+
+    The reference reshapes the (H, W) grid row-major into `num_bin` strips
+    and reduces over everything inside a strip (mj_uwyhNets_ba.py:473-478).
+    """
+    b, h, w, c = fmap.shape
+    strips = fmap.reshape(b, num_bin, (h * w) // num_bin, c)
+    return jnp.mean(strips, axis=2) + jnp.max(strips, axis=2)

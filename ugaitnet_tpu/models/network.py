@@ -1,0 +1,151 @@
+"""UGaitNet: multimodal gated-fusion gait network.
+
+Flax re-design of `UWYHSemiNet.build` / `UWYHSemiNet3Mods.build` /
+`UWYHSemiNet3Mods_Fran` and the BothDatasets family
+(/root/reference/nets/mj_uwyhNets_ba.py:668-935,1003-1397,1401-1732;
+/root/reference/nets/mj_uwyhNets_bothDatasets.py:274-1177) as ONE module
+parameterized by `ModelConfig` — any number of branches (1/2/3 modalities),
+any branch kind (conv2d / conv3d / gaitset), pluggable merge, optional extra
+dense "code" head, classification head, and per-branch auxiliary heads.
+
+Forward taps (dict outputs) mirror the reference layer names used by the
+eval scripts' typecode map (mains/mj_testUWYHGaitNet_open_casiab.py:157-166):
+  "signature" — L2-normalized fused embedding (typecode 1)
+  "flatten"   — per-sample flattened signature (typecode 3, the flagship
+                eval embedding: flatten(transpose(signature)))
+  "code"      — extra dense tap (casenet C)
+  "classprob" — softmax id head; "classprob_logits" for stable CE
+  "branches"  — gated per-branch embeddings (aux heads, encode())
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ugaitnet_tpu.core.config import BranchConfig, ModelConfig
+from ugaitnet_tpu.models.branches import Conv2DBranch, Conv3DBranch, glorot
+from ugaitnet_tpu.models.gaitset import GaitSetBranch
+from ugaitnet_tpu.ops import fusion as F
+from ugaitnet_tpu.ops.preprocess import frames_to_planes
+
+
+def make_branch(cfg: BranchConfig, dtype, name: str) -> nn.Module:
+    if cfg.kind == "gaitset":
+        return GaitSetBranch(channels=cfg.gaitset_channels,
+                             hpp_bins=cfg.hpp_bins, part_dim=cfg.part_dim,
+                             leaky_alpha=cfg.leaky_alpha, dtype=dtype,
+                             name=name)
+    if cfg.kind == "conv2d":
+        return Conv2DBranch(filters_numbers=cfg.filters_numbers,
+                            filters_size=cfg.filters_size,
+                            ndense_units=cfg.ndense_units,
+                            dropout=cfg.dropout, activation=cfg.activation,
+                            leaky_alpha=cfg.leaky_alpha, dtype=dtype,
+                            name=name)
+    if cfg.kind == "conv3d":
+        return Conv3DBranch(ndense_units=cfg.ndense_units,
+                            activation=cfg.activation,
+                            leaky_alpha=cfg.leaky_alpha, dtype=dtype,
+                            name=name)
+    raise ValueError(f"unknown branch kind: {cfg.kind}")
+
+
+class UGaitNet(nn.Module):
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, volumes: Sequence[jax.Array],
+                 use_flags: Optional[Sequence[jax.Array]] = None,
+                 train: bool = False) -> Dict[str, jax.Array]:
+        """volumes[i]: (B, T, H, W, C_i) frame-major volume for branch i.
+        use_flags[i]: (B,) or (B,1) presence flags (None => all present).
+        """
+        cfg = self.config
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        batch = volumes[0].shape[0]
+        if use_flags is None:
+            use_flags = [jnp.ones((batch,), jnp.float32) for _ in cfg.branches]
+
+        embeddings: List[jax.Array] = []
+        for i, bcfg in enumerate(cfg.branches):
+            branch = make_branch(bcfg, dtype, name=f"branch_{bcfg.modality}")
+            x = volumes[i]
+            if bcfg.kind == "conv2d":
+                # 2D branch consumes the (H, W, T*C) plane volume.
+                x = jnp.moveaxis(frames_to_planes(x), -3, -1)
+            embeddings.append(branch(x, train=train))
+
+        gated = []
+        for e, u in zip(embeddings, use_flags):
+            if cfg.norm_before_merge:
+                e = F.l2_normalize(e, axis=-1)
+            gated.append(F.gate(e, u))
+
+        if cfg.multimodal:
+            fused = F.MERGES[cfg.merge](gated)
+        else:
+            fused = gated[0]
+
+        out: Dict[str, jax.Array] = {"branches": gated}
+
+        sig = F.signature(fused, l2_mode=cfg.l2_mode)
+        head_in = sig
+        if cfg.extra_dense:
+            act = (nn.relu if cfg.branches[0].activation == "relu"
+                   else (lambda v: nn.leaky_relu(
+                       v, negative_slope=cfg.branches[0].leaky_alpha)))
+            if cfg.postriplet == 2:
+                # Dense BEFORE the triplet tap; L2-normed output is "code".
+                x = act(nn.Dense(cfg.extra_dense[0], kernel_init=glorot,
+                                 dtype=dtype, name="extra_dense")(fused))
+                code = F.l2_normalize(x, axis=-1)
+                out["code"] = code
+                sig = code
+                head_in = nn.Dropout(cfg.dropout_code,
+                                     deterministic=not train,
+                                     name="dropcode")(x)
+            else:
+                x = act(nn.Dense(cfg.extra_dense[0], kernel_init=glorot,
+                                 dtype=dtype, name="extra_dense")(sig))
+                out["code"] = x
+                head_in = nn.Dropout(cfg.dropout_code,
+                                     deterministic=not train,
+                                     name="dropcode")(x)
+
+        out["signature"] = sig
+        flat = head_in.reshape(batch, -1)
+        out["flatten"] = sig.reshape(batch, -1)
+
+        if cfg.nclasses > 0:
+            logits = nn.Dense(cfg.nclasses, kernel_init=glorot, dtype=dtype,
+                              name="classprob")(flat)
+            logits = logits.astype(jnp.float32)
+            out["classprob_logits"] = logits
+            out["classprob"] = nn.softmax(logits)
+            if cfg.aux_losses:
+                aux_logits = []
+                for i, g in enumerate(gated):
+                    gi = g.reshape(batch, -1)
+                    al = nn.Dense(cfg.nclasses, kernel_init=glorot,
+                                  dtype=dtype,
+                                  name=f"classprob_{cfg.branches[i].modality}"
+                                  )(gi).astype(jnp.float32)
+                    aux_logits.append(al)
+                out["aux_logits"] = aux_logits
+        return out
+
+
+def init_params(model: UGaitNet, rng: jax.Array, batch: int = 2):
+    cfg = model.config
+    volumes = []
+    for b in cfg.branches:
+        volumes.append(jnp.zeros((batch, 25, 60, 60, b.in_channels),
+                                 jnp.float32))
+    flags = [jnp.ones((batch,), jnp.float32) for _ in cfg.branches]
+    params_rng, drop_rng = jax.random.split(rng)
+    return model.init({"params": params_rng, "dropout": drop_rng},
+                      volumes, flags, train=False)

@@ -1,0 +1,78 @@
+"""Device-side kNN gallery search.
+
+Replaces sklearn.KNeighborsClassifier in the open-world protocol
+(/root/reference/mains/mj_testUWYHGaitNet_open_casiab.py:389-393) with a
+tiled distance-matrix + top-k on the MXU: probes x gallery distances are one
+matmul, lax.top_k picks neighbors, and the vote runs as a one-hot matmul —
+no host round-trip until the final labels.
+
+Vote parity: sklearn with uniform weights sums votes per class and takes the
+argmin-index class on ties (np.argmax over class-ordered counts). We vote via
+a one-hot sum over the k neighbor labels and argmax over sorted unique class
+ids, which matches.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pairwise_l2(probes: jax.Array, gallery: jax.Array) -> jax.Array:
+    """(P, D) x (G, D) -> (P, G) squared-L2 distances (monotone in L2, so
+    neighbor order matches sklearn's euclidean metric)."""
+    p2 = jnp.sum(jnp.square(probes), axis=1, keepdims=True)
+    g2 = jnp.sum(jnp.square(gallery), axis=1)
+    dot = jnp.matmul(probes, gallery.T, preferred_element_type=jnp.float32)
+    return jnp.maximum(p2 + g2[None, :] - 2.0 * dot, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "num_classes"))
+def _knn_device(probes, gallery, gallery_labels, k: int, num_classes: int):
+    d2 = pairwise_l2(probes, gallery)
+    neg = -d2
+    _, idx = jax.lax.top_k(neg, k)                      # (P, k) nearest
+    neighbor_labels = gallery_labels[idx]               # (P, k)
+    votes = jax.nn.one_hot(neighbor_labels, num_classes, dtype=jnp.float32)
+    counts = jnp.sum(votes, axis=1)                     # (P, C)
+    return jnp.argmax(counts, axis=1), d2
+
+
+def knn_predict(probes: np.ndarray, gallery: np.ndarray,
+                gallery_labels: np.ndarray, k: int = 3,
+                batch: int = 4096) -> np.ndarray:
+    """Predict probe labels by kNN vote over the gallery.
+
+    Labels may be arbitrary ints; they are densified to [0, C) on host and
+    mapped back after the vote.
+    """
+    gallery_labels = np.asarray(gallery_labels)
+    ulabs, dense = np.unique(gallery_labels, return_inverse=True)
+    probes = jnp.asarray(np.asarray(probes, dtype=np.float32))
+    gal = jnp.asarray(np.asarray(gallery, dtype=np.float32))
+    dense = jnp.asarray(dense.astype(np.int32))
+    k = min(k, gal.shape[0])
+
+    preds = []
+    for s in range(0, probes.shape[0], batch):
+        pred, _ = _knn_device(probes[s:s + batch], gal, dense, k, len(ulabs))
+        preds.append(np.asarray(pred))
+    return ulabs[np.concatenate(preds)]
+
+
+def knn_predict_with_distances(probes: np.ndarray, gallery: np.ndarray,
+                               gallery_labels: np.ndarray, k: int = 3
+                               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Like knn_predict but also returns the full (P, G) distance matrix
+    (used by the averaged-code video protocol)."""
+    gallery_labels = np.asarray(gallery_labels)
+    ulabs, dense = np.unique(gallery_labels, return_inverse=True)
+    k = min(k, gallery.shape[0])
+    pred, d2 = _knn_device(jnp.asarray(probes, dtype=jnp.float32),
+                           jnp.asarray(gallery, dtype=jnp.float32),
+                           jnp.asarray(dense.astype(np.int32)), k, len(ulabs))
+    return ulabs[np.asarray(pred)], np.sqrt(np.asarray(d2))
