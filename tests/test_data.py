@@ -1,0 +1,129 @@
+"""Data layer: sampler balance, split, synthetic source, device pipeline."""
+
+import numpy as np
+import jax
+import pytest
+
+from ugaitnet_tpu.core.config import DataConfig
+from ugaitnet_tpu.data.pipeline import GaitPipeline, gather_host_batch
+from ugaitnet_tpu.data.sampler import (
+    BalancedGaitSampler, SequentialSampler, split_train_val_by_video)
+from ugaitnet_tpu.data.schema import GaitDataset
+from ugaitnet_tpu.data.synthetic import make_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return make_synthetic_dataset(num_subjects=6, videos_per_subject=3,
+                                  subseqs_per_video=4, seed=0)
+
+
+def test_synthetic_shapes(ds):
+    assert len(ds) == 6 * 3 * 4
+    assert ds.modalities["of"].volumes.shape[1:] == (50, 60, 60)
+    assert ds.modalities["of"].volumes.dtype == np.int16
+    assert ds.modalities["gray"].volumes.shape[1:] == (25, 60, 60)
+    assert ds.modalities["gray"].volumes.dtype == np.uint8
+    assert set(ds.label_map().values()) == set(range(6))
+
+
+def test_dataset_roundtrip(tmp_path, ds):
+    ds.save(str(tmp_path / "d"))
+    back = GaitDataset.load(str(tmp_path / "d"))
+    np.testing.assert_array_equal(back.labels, ds.labels)
+    np.testing.assert_array_equal(back.modalities["of"].volumes,
+                                  ds.modalities["of"].volumes)
+    assert back.modalities["of"].compress_factor == 100.0
+
+
+def test_sampler_pk_structure(ds):
+    s = BalancedGaitSampler(ds.labels, ds.gaits, batch_size=20,
+                            repetition=5, seed=1)
+    batch = s.next_batch()
+    assert len(batch) == 20
+    labs = ds.labels[batch]
+    # repetition=5 -> 10 records per subject before advancing: 2 subjects
+    uniq, counts = np.unique(labs, return_counts=True)
+    assert len(uniq) == 2
+    np.testing.assert_array_equal(counts, [10, 10])
+    # gait-balanced within each subject's block
+    for u in uniq:
+        g, gc = np.unique(ds.gaits[batch[labs == u]], return_counts=True)
+        assert len(g) == 3
+
+
+def test_sampler_epoch_reshuffles(ds):
+    s = BalancedGaitSampler(ds.labels, ds.gaits, batch_size=20,
+                            repetition=5, seed=2)
+    first = [b.copy() for b in s.epoch()]
+    second = [b.copy() for b in s.epoch()]
+    assert len(first) == len(s)
+    assert any(not np.array_equal(a, b) for a, b in zip(first, second))
+
+
+def test_split_by_video_keeps_videos_whole(ds):
+    tr, val = split_train_val_by_video(ds.video_ids, perc=0.2, seed=0)
+    assert len(tr) + len(val) == len(ds)
+    assert len(val) > 0
+    assert not set(ds.video_ids[tr]) & set(ds.video_ids[val])
+
+
+def test_sequential_sampler_covers_all(ds):
+    s = SequentialSampler(len(ds), 16)
+    seen = np.concatenate(list(s.epoch()))
+    np.testing.assert_array_equal(seen, np.arange(len(ds)))
+
+
+def test_pipeline_shapes_and_flags(ds):
+    cfg = DataConfig(batch_size=8, expand_level=3)
+    pipe = GaitPipeline(ds, cfg, ("of", "gray"), labmap=ds.label_map())
+    vols, flags, labels = pipe.load(np.arange(8), jax.random.PRNGKey(0))
+    assert vols[0].shape == (24, 25, 60, 60, 2)
+    assert vols[1].shape == (24, 25, 60, 60, 1)
+    assert flags[0].shape == (24,)
+    assert labels.shape == (24,)
+    f = np.stack([np.asarray(flags[0]), np.asarray(flags[1])], axis=1)
+    f = f.reshape(8, 3, 2)
+    # copy 0: both modalities on; copies 1,2: exactly one on, complementary
+    np.testing.assert_array_equal(f[:, 0], 1.0)
+    np.testing.assert_array_equal(f[:, 1].sum(1), 1.0)
+    np.testing.assert_array_equal(f[:, 2].sum(1), 1.0)
+    np.testing.assert_array_equal(f[:, 1] + f[:, 2], 1.0)
+    # labels replicated across expand copies
+    labs = np.asarray(labels).reshape(8, 3)
+    assert (labs == labs[:, :1]).all()
+
+
+def test_pipeline_disabled_modality_is_noise(ds):
+    cfg = DataConfig(batch_size=4, expand_level=2, augment=False)
+    pipe = GaitPipeline(ds, cfg, ("of", "gray"), augment=False)
+    vols, flags, _ = pipe.load(np.arange(4), jax.random.PRNGKey(1))
+    for mi in range(2):
+        v = np.asarray(vols[mi])
+        u = np.asarray(flags[mi])
+        for row in range(v.shape[0]):
+            if u[row] == 0:
+                np.testing.assert_allclose(v[row], 1e-9)
+
+
+def test_pipeline_normalization_ranges(ds):
+    cfg = DataConfig(batch_size=4, expand_level=1, augment=False)
+    pipe = GaitPipeline(ds, cfg, ("of", "gray"), augment=False)
+    vols, _, _ = pipe.load(np.arange(4), jax.random.PRNGKey(2))
+    of = np.asarray(vols[0])
+    gray = np.asarray(vols[1])
+    # OF: int16/100 * 0.1 (ntype=2)
+    raw = ds.modalities["of"].volumes[:4].astype(np.float32) / 1000.0
+    got = np.moveaxis(of.reshape(4, 25, 60, 60, 2), -1, 2).reshape(4, 50, 60, 60)
+    np.testing.assert_allclose(got, raw, atol=1e-6)
+    # gray: /255 - 0.5
+    assert gray.min() >= -0.5 - 1e-6 and gray.max() <= 0.5 + 1e-6
+
+
+def test_pipeline_augmentation_changes_data_but_not_labels(ds):
+    cfg = DataConfig(batch_size=4, expand_level=1, augment=True)
+    pipe = GaitPipeline(ds, cfg, ("of", "gray"))
+    v1, _, l1 = pipe.load(np.arange(4), jax.random.PRNGKey(3))
+    v2, _, l2 = pipe.load(np.arange(4), jax.random.PRNGKey(4))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    assert not np.allclose(np.asarray(v1[0]), np.asarray(v2[0]))

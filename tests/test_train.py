@@ -1,0 +1,113 @@
+"""Train step: loss decreases on synthetic data; sharded == single-device."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ugaitnet_tpu.core.config import (BranchConfig, DataConfig, ModelConfig,
+                                      TrainConfig)
+from ugaitnet_tpu.data.pipeline import GaitPipeline
+from ugaitnet_tpu.data.sampler import BalancedGaitSampler
+from ugaitnet_tpu.data.synthetic import make_synthetic_dataset
+from ugaitnet_tpu.models.network import UGaitNet
+from ugaitnet_tpu.parallel.sharding import (
+    make_mesh, make_sharded_train_step, replicate, shard_batch)
+from ugaitnet_tpu.train.train_step import (
+    Batch, compute_losses, init_state, make_optimizer, make_train_step)
+
+
+def small_cfg(nclasses=6):
+    b = BranchConfig(kind="gaitset", modality="gray",
+                     gaitset_channels=(8, 8, 16), part_dim=16)
+    b2 = BranchConfig(kind="gaitset", modality="of",
+                      gaitset_channels=(8, 8, 16), part_dim=16)
+    return ModelConfig(branches=(b2, b), merge="sign_max", nclasses=nclasses)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ds = make_synthetic_dataset(num_subjects=6, videos_per_subject=3,
+                                subseqs_per_video=2, seed=0)
+    mcfg = small_cfg()
+    tcfg = TrainConfig(lr=3e-4, loss_weights=(1.0, 0.1), margin=0.2)
+    model = UGaitNet(mcfg)
+    tx = make_optimizer(tcfg)
+    state = init_state(model, tx, jax.random.PRNGKey(0))
+    dcfg = DataConfig(batch_size=8, expand_level=2, augment=False)
+    pipe = GaitPipeline(ds, dcfg, ("of", "gray"), labmap=ds.label_map(),
+                        augment=False)
+    return ds, model, tx, state, pipe, mcfg, tcfg
+
+
+def test_loss_decreases(setup):
+    ds, model, tx, state, pipe, mcfg, tcfg = setup
+    step = make_train_step(model, tx, mcfg, tcfg)
+    sampler = BalancedGaitSampler(ds.labels, ds.gaits, batch_size=8,
+                                  repetition=2, seed=0)
+    losses = []
+    for i in range(8):
+        idx = sampler.next_batch()
+        vols, flags, labels = pipe.load(idx, jax.random.PRNGKey(i))
+        batch = Batch(volumes=tuple(vols), use_flags=tuple(flags),
+                      labels=labels)
+        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_sharded_step_matches_single_device(setup):
+    ds, model, tx, _, pipe, mcfg, tcfg = setup
+    state = init_state(model, tx, jax.random.PRNGKey(0))
+    vols, flags, labels = pipe.load(np.arange(8), jax.random.PRNGKey(0))
+    batch = Batch(volumes=tuple(vols), use_flags=tuple(flags), labels=labels)
+
+    single = make_train_step(model, tx, mcfg, tcfg)
+    s1, m1 = single(init_state(model, tx, jax.random.PRNGKey(0)), batch,
+                    jax.random.PRNGKey(7))
+
+    mesh = make_mesh(8)
+    sharded = make_sharded_train_step(model, tx, mcfg, tcfg, mesh)
+    st = replicate(init_state(model, tx, jax.random.PRNGKey(0)), mesh)
+    sb = shard_batch(batch, mesh)
+    s2, m2 = sharded(st, sb, jax.random.PRNGKey(7))
+
+    # global-batch semantics: sharded == single device (same triplet mining)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    l1 = jax.tree.leaves(s1.params)
+    l2 = jax.tree.leaves(s2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_optimizers_construct():
+    for name in ("adam", "sgd", "amsgrad", "adamw"):
+        make_optimizer(TrainConfig(optimizer=name))
+
+
+def test_aux_and_focal_losses_run():
+    mcfg = ModelConfig(
+        branches=(BranchConfig(kind="conv2d", modality="of",
+                               filters_numbers=(8, 8, 16, 16),
+                               ndense_units=32),
+                  BranchConfig(kind="conv2d", modality="gray",
+                               filters_numbers=(8, 8, 16, 16),
+                               ndense_units=32)),
+        nclasses=6, aux_losses=True)
+    tcfg = TrainConfig(use_focal=True, loss_weights=(1.0, 0.1, 0.05))
+    model = UGaitNet(mcfg)
+    tx = make_optimizer(tcfg)
+    state = init_state(model, tx, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    batch = Batch(
+        volumes=(jnp.asarray(rng.randn(8, 25, 60, 60, 2), jnp.float32),
+                 jnp.asarray(rng.randn(8, 25, 60, 60, 1), jnp.float32)),
+        use_flags=(jnp.ones((8,)), jnp.ones((8,))),
+        labels=jnp.asarray(np.repeat(np.arange(4), 2)))
+    step = make_train_step(model, tx, mcfg, tcfg)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert "aux_ce_0" in metrics and "aux_ce_1" in metrics
+    assert float(metrics["reg"]) > 0  # conv2d branches carry L2 reg

@@ -1,0 +1,199 @@
+"""Host->device input pipeline.
+
+The host side is a thin gather over the packed, memory-mapped dataset
+(data/schema.py); everything the reference's generator did per-sample in
+Python — dequantization, normalization, joint augmentation, gaitset
+de-interleave, expand-level modality-dropout replication
+(/root/reference/data/mj_dataGeneratorMMUWYHsingle.py:294-535) — runs on
+device as ONE jitted function over the whole batch.
+
+Batch layout after expansion (parity with the reference's interleaving,
+...single.py:491-535): rows [i*E .. i*E+E-1] are sample i's original copy
+followed by its modality-dropout copies, so P*K label blocks survive.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ugaitnet_tpu.core.config import DataConfig, MODALITY_CHANNELS
+from ugaitnet_tpu.data.schema import GaitDataset
+from ugaitnet_tpu.ops import augment as A
+from ugaitnet_tpu.ops.preprocess import planes_to_frames
+
+
+class HostBatch(dict):
+    """Raw numpy arrays staged for one batch: per-modality uint8/int16
+    volumes + present flags, plus dense labels."""
+
+
+def gather_host_batch(ds: GaitDataset, idx: np.ndarray,
+                      modalities: Sequence[str],
+                      labmap: Optional[Dict[int, int]] = None) -> HostBatch:
+    out = HostBatch()
+    for m in modalities:
+        store = ds.modalities[m]
+        out[f"raw_{m}"] = np.ascontiguousarray(store.volumes[idx])
+        out[f"present_{m}"] = store.present[idx].astype(np.float32)
+    labels = ds.labels[idx]
+    if labmap is not None:
+        labels = np.asarray([labmap[int(l)] for l in labels], np.int32)
+    out["labels"] = labels.astype(np.int32)
+    return out
+
+
+def _dropout_masks(key: jax.Array, batch: int, nmods: int, expand: int
+                   ) -> jax.Array:
+    """(B, E, nmods) 0/1 keep-masks for the expand copies (copy 0 = all 1).
+
+    2-mod parity (...single.py:500-535): copy 1 disables a random modality,
+    copy 2 the other. >=3-mod parity (__gen_batchMM :783-807): even samples
+    disable min(ex+1, nmods-1) randomly-chosen (with replacement) modalities;
+    odd samples keep exactly one, cycling (i+ex) % nmods.
+    """
+    if expand <= 1:
+        return jnp.ones((batch, expand, nmods), jnp.float32)
+
+    if nmods == 2:
+        choice = jax.random.bernoulli(key, 0.5, (batch,)).astype(jnp.int32)
+        copies = [jnp.ones((batch, nmods), jnp.float32)]
+        first = 1.0 - jax.nn.one_hot(choice, nmods, dtype=jnp.float32)
+        copies.append(first)
+        if expand > 2:
+            copies.append(1.0 - jax.nn.one_hot(1 - choice, nmods,
+                                               dtype=jnp.float32))
+        for _ in range(expand - len(copies)):
+            copies.append(copies[1])
+        return jnp.stack(copies[:expand], axis=1)
+
+    rows = jnp.arange(batch)
+    even = (rows % 2 == 0)
+    copies = [jnp.ones((batch, nmods), jnp.float32)]
+    for ex in range(expand - 1):
+        k_ex = jax.random.fold_in(key, ex)
+        ndisable = min(ex + 1, nmods - 1) if expand > 2 else None
+        if ndisable is None:
+            ndisable = nmods - 1  # worst case; sampled count below
+        picks = jax.random.randint(k_ex, (batch, nmods - 1), 0, nmods)
+        mask_even = jnp.ones((batch, nmods), jnp.float32)
+        for d in range(ndisable):
+            mask_even = mask_even * (1.0 - jax.nn.one_hot(
+                picks[:, d], nmods, dtype=jnp.float32))
+        keep_ix = (rows + ex) % nmods
+        mask_odd = jax.nn.one_hot(keep_ix, nmods, dtype=jnp.float32)
+        copies.append(jnp.where(even[:, None], mask_even, mask_odd))
+    return jnp.stack(copies, axis=1)
+
+
+def _expand_rows(x: jax.Array, expand: int) -> jax.Array:
+    """Repeat each row E times, interleaved: (B, ...) -> (B*E, ...)."""
+    return jnp.repeat(x, expand, axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("modalities", "channels", "compress_factors", "ntype",
+                     "expand", "augmenting", "cfg"))
+def preprocess_batch(raw: Dict[str, jax.Array], key: jax.Array,
+                     modalities: Tuple[str, ...],
+                     channels: Tuple[int, ...],
+                     compress_factors: Tuple[float, ...],
+                     ntype: int, expand: int, augmenting: bool,
+                     cfg: DataConfig
+                     ) -> Tuple[List[jax.Array], List[jax.Array], jax.Array]:
+    """Device-side: dequant -> frames -> joint augment -> expand+dropout.
+
+    Returns (volumes[(B*E, T, H, W, C_m)], use_flags[(B*E,)], labels (B*E,)).
+    """
+    batch = raw["labels"].shape[0]
+    k_aug, k_clip, k_drop = jax.random.split(key, 3)
+
+    # One affine/flip draw per sample, shared across modalities (the
+    # reference copies tx/ty and flip between modality transforms,
+    # ...single.py:401-410); photometric params per modality.
+    params = []
+    for mi, m in enumerate(modalities):
+        p = A.random_transform_params(
+            jax.random.fold_in(k_aug, mi), batch,
+            shift_choices=cfg.shift_range, zoom_range=cfg.zoom_range,
+            brightness_range=cfg.brightness_range,
+            channel_shift_range=cfg.channel_shift_range,
+            photometric=(m != "of"))
+        params.append(p)
+    base = params[0]
+    params = [p._replace(apply=base.apply, tx=base.tx, ty=base.ty,
+                         flip=base.flip) for p in params]
+
+    volumes, use_flags = [], []
+    clip_coin = jax.random.bernoulli(k_clip, 0.5, (batch,))
+    for mi, m in enumerate(modalities):
+        x = raw[f"raw_{m}"].astype(jnp.float32)
+        cf = compress_factors[mi]
+        if cf > 1.0:  # quantized (OF)
+            if augmenting:
+                clipped = jnp.where(
+                    (jnp.abs(x) > cfg.of_clip_max)
+                    | (jnp.abs(x) < cfg.of_clip_min), 1e-8, x)
+                x = jnp.where(clip_coin.reshape(-1, 1, 1, 1), clipped, x)
+            x = x / cf
+            if ntype == 2:
+                x = x * 0.1
+        else:
+            x = x / 255.0
+            if m != "silhouette":
+                x = x - 0.5
+        x = planes_to_frames(x, channels[mi])          # (B, T, H, W, C)
+        if augmenting:
+            x = A.augment_batch(x, params[mi], is_of=(m == "of"))
+        volumes.append(x)
+        use_flags.append(raw[f"present_{m}"])
+
+    # --- expand-level modality dropout ------------------------------------
+    masks = _dropout_masks(k_drop, batch, len(modalities), expand)
+    out_vols, out_flags = [], []
+    for mi in range(len(modalities)):
+        v = _expand_rows(volumes[mi], expand)
+        u = _expand_rows(use_flags[mi], expand) * masks[:, :, mi].reshape(-1)
+        v = jnp.where(u.reshape(-1, 1, 1, 1, 1) > 0, v,
+                      jnp.asarray(cfg.noise, v.dtype))
+        out_vols.append(v)
+        out_flags.append(u)
+    labels = _expand_rows(raw["labels"], expand)
+    return out_vols, out_flags, labels
+
+
+class GaitPipeline:
+    """Convenience wrapper: sampler indices -> device-ready batches."""
+
+    def __init__(self, ds: GaitDataset, cfg: DataConfig,
+                 modalities: Sequence[str],
+                 labmap: Optional[Dict[int, int]] = None,
+                 indices: Optional[np.ndarray] = None,
+                 augment: Optional[bool] = None):
+        self.ds = ds
+        self.cfg = cfg
+        self.modalities = tuple(modalities)
+        self.labmap = labmap
+        self.indices = (np.arange(len(ds)) if indices is None
+                        else np.asarray(indices))
+        self.channels = tuple(MODALITY_CHANNELS[m] for m in modalities)
+        self.compress_factors = tuple(
+            float(ds.modalities[m].compress_factor) for m in modalities)
+        self.augmenting = cfg.augment if augment is None else augment
+
+    def load(self, batch_idx: np.ndarray, key: jax.Array,
+             expand: Optional[int] = None):
+        """batch_idx indexes into this pipeline's view (self.indices)."""
+        raw = gather_host_batch(self.ds, self.indices[batch_idx],
+                                self.modalities, self.labmap)
+        raw_dev = {k: jnp.asarray(v) for k, v in raw.items()}
+        e = self.cfg.expand_level if expand is None else expand
+        return preprocess_batch(
+            raw_dev, key, self.modalities, self.channels,
+            self.compress_factors, self.ds.ntype, e, self.augmenting,
+            self.cfg)

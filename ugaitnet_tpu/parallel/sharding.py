@@ -1,0 +1,81 @@
+"""Device-mesh sharding for data-parallel training over ICI.
+
+TPU-native replacement for the reference's optional single-host
+tf.distribute.MirroredStrategy (the only parallelism the reference has,
+/root/reference/mains/mj_trainUWYHGaitNet_DataGen_CasiaB.py:342-349; SURVEY.md
+§2.5): a 1-D "data" mesh over all chips, parameters replicated, the batch
+sharded on axis 0, and the whole train step jitted with GSPMD. XLA inserts
+the collectives: gradient psum over ICI (the NCCL-all-reduce analogue) and —
+because the batch-all triplet loss is written over the *global* batch — an
+all-gather of the (B, P, D) signatures before mining, which is the
+parity-preserving choice (global-batch mining == single-device semantics;
+see SURVEY.md §2.5 note).
+
+Multi-host pods need no code change: jax.devices() spans hosts and each host
+feeds its local shard via make_array_from_process_local_data.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: int = 0, devices: Optional[Sequence] = None) -> Mesh:
+    devs = list(devices if devices is not None else jax.devices())
+    if n_devices and n_devices > 0:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place every leaf of a Batch pytree with its axis-0 sharded over the
+    data axis of the mesh."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def make_sharded_train_step(model, tx, mcfg, tcfg, mesh: Mesh):
+    """GSPMD train step: state replicated, batch data-sharded. Identical
+    numerics to the single-device step (global-batch triplet mining)."""
+    from ugaitnet_tpu.train.train_step import TrainState, compute_losses
+    import optax
+
+    rep = replicated(mesh)
+    data = batch_sharding(mesh)
+
+    def step(state: TrainState, batch, key):
+        def loss_fn(params):
+            return compute_losses(model, params, batch,
+                                  jax.random.fold_in(key, state.step),
+                                  mcfg, tcfg, train=True)
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), metrics
+
+    # Inputs arrive committed (state via replicate(), batch via
+    # shard_batch()); pinning the outputs keeps the updated state replicated
+    # so donation reuses its buffers across steps.
+    return jax.jit(step, donate_argnums=(0,),
+                   out_shardings=(rep, rep))

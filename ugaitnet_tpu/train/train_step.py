@@ -1,0 +1,161 @@
+"""Jitted training step: multi-loss objective, optimizers, regularization.
+
+Re-derives the reference's compile-time objective
+(/root/reference/nets/mj_uwyhNets_ba.py:861-933):
+  loss = w_ver * triplet(signature)
+       + w_id  * CE(classprob)        [+ label smoothing / focal]
+       + w_aux * CE(per-branch aux heads)
+       + explicit L2 regularization terms (Keras kernel_regularizer parity)
+
+and the optimizer menu of the mains (Adam / SGD+momentum+decay / AMSGrad /
+AdamW, mains/mj_trainUWYHGaitNet_DataGen_CasiaB.py:227-238).
+
+Everything is one jit with donated state; the only host exchange per step is
+the scalar metrics dict.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ugaitnet_tpu.core.config import ModelConfig, TrainConfig
+from ugaitnet_tpu.models.network import UGaitNet
+from ugaitnet_tpu.ops import losses as L
+from ugaitnet_tpu.ops.triplet import make_triplet_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    name = cfg.optimizer.lower()
+    if name == "adam":
+        return optax.adam(cfg.lr)
+    if name == "amsgrad":
+        return optax.amsgrad(cfg.lr)
+    if name == "adamw":
+        return optax.adamw(cfg.lr, weight_decay=1e-4)
+    if name == "sgd":
+        # Keras SGD(lr, momentum, decay=1e-05): inverse-time lr decay
+        sched = lambda count: cfg.lr / (1.0 + 1e-5 * count)
+        return optax.sgd(sched, momentum=cfg.momentum)
+    raise ValueError(f"unknown optimizer {cfg.optimizer}")
+
+
+def l2_regularization(params: Any, mcfg: ModelConfig) -> jax.Array:
+    """Explicit Keras kernel_regularizer parity.
+
+    conv2d branches: l2(weight_decay) on every conv kernel
+    (mj_uwyhNets_ba.py:82,88) and l2(1e-3) on the final code dense (:104).
+    conv3d branches: l2(1e-3) on the 1x1x1 code conv (:367). The gaitset
+    branch has no kernel regularizers. Keras l2(c) adds c * sum(w^2).
+    """
+    total = jnp.float32(0.0)
+    tree = params["params"] if "params" in params else params
+    for bcfg in mcfg.branches:
+        bp = tree.get(f"branch_{bcfg.modality}")
+        if bp is None:
+            continue
+        if bcfg.kind == "conv2d":
+            for name, mod in bp.items():
+                if name.startswith("conv"):
+                    total += bcfg.weight_decay * jnp.sum(
+                        jnp.square(mod["kernel"]))
+            total += 1e-3 * jnp.sum(jnp.square(bp["code"]["kernel"]))
+        elif bcfg.kind == "conv3d":
+            total += 1e-3 * jnp.sum(jnp.square(bp["code"]["kernel"]))
+    return total
+
+
+class Batch(NamedTuple):
+    volumes: Tuple[jax.Array, ...]
+    use_flags: Tuple[jax.Array, ...]
+    labels: jax.Array  # dense int ids
+
+
+def compute_losses(model: UGaitNet, params, batch: Batch, key,
+                   mcfg: ModelConfig, tcfg: TrainConfig, train: bool = True
+                   ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    out = model.apply(params, list(batch.volumes), list(batch.use_flags),
+                      train=train,
+                      rngs={"dropout": key} if train else None)
+    triplet_fn = make_triplet_loss(tcfg.triplet_kind, tcfg.margin)
+
+    lw = list(tcfg.loss_weights)
+    metrics: Dict[str, jax.Array] = {}
+    total = jnp.float32(0.0)
+
+    l_tri = triplet_fn(out["signature"], batch.labels)
+    metrics["triplet"] = l_tri
+    total += lw[0] * l_tri
+
+    if mcfg.nclasses > 0 and not tcfg.only_triplet:
+        onehot = jax.nn.one_hot(batch.labels, mcfg.nclasses)
+        if tcfg.use_focal:
+            l_id = L.sigmoid_focal_crossentropy(out["classprob"], onehot)
+        else:
+            l_id = L.softmax_crossentropy_logits(
+                out["classprob_logits"], onehot, tcfg.label_smoothing)
+        metrics["id_ce"] = l_id
+        metrics["acc"] = L.accuracy(out["classprob"], onehot)
+        w_id = lw[1] if len(lw) > 1 else 1.0
+        total += w_id * l_id
+
+        if mcfg.aux_losses and "aux_logits" in out:
+            # pad weights with the last value (mj_uwyhNets_ba.py:880-884)
+            while len(lw) < 2 + len(out["aux_logits"]):
+                lw.append(lw[-1])
+            for i, al in enumerate(out["aux_logits"]):
+                l_aux = L.softmax_crossentropy_logits(
+                    al, onehot, tcfg.label_smoothing)
+                metrics[f"aux_ce_{i}"] = l_aux
+                total += lw[2 + i] * l_aux
+
+    reg = l2_regularization(params, mcfg)
+    metrics["reg"] = reg
+    total += reg
+    metrics["loss"] = total
+    return total, metrics
+
+
+def make_train_step(model: UGaitNet, tx: optax.GradientTransformation,
+                    mcfg: ModelConfig, tcfg: TrainConfig):
+    def step(state: TrainState, batch: Batch, key: jax.Array):
+        def loss_fn(params):
+            return compute_losses(model, params, batch,
+                                  jax.random.fold_in(key, state.step),
+                                  mcfg, tcfg, train=True)
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(model: UGaitNet, mcfg: ModelConfig, tcfg: TrainConfig):
+    def step(params, batch: Batch):
+        _, metrics = compute_losses(model, params, batch,
+                                    jax.random.PRNGKey(0), mcfg, tcfg,
+                                    train=False)
+        return metrics
+    return jax.jit(step)
+
+
+def init_state(model: UGaitNet, tx, rng: jax.Array, batch: int = 2
+               ) -> TrainState:
+    from ugaitnet_tpu.models.network import init_params
+    params = init_params(model, rng, batch=batch)
+    return TrainState(step=jnp.int32(0), params=params,
+                      opt_state=tx.init(params))
