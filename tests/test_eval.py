@@ -1,0 +1,162 @@
+"""Eval stack: kNN parity, EER, protocols, end-to-end open-world smoke."""
+
+import numpy as np
+import jax
+import pytest
+
+from ugaitnet_tpu.core.config import (BranchConfig, DataConfig, EvalConfig,
+                                      ModelConfig, TrainConfig)
+from ugaitnet_tpu.data.sampler import BalancedGaitSampler
+from ugaitnet_tpu.data.synthetic import make_synthetic_dataset
+from ugaitnet_tpu.data.pipeline import GaitPipeline
+from ugaitnet_tpu.eval.encode import encode_dataset
+from ugaitnet_tpu.eval.protocol import (
+    EncodedSet, encode_set, eval_all_combos, eval_camera_pairs, eval_openset,
+    modality_combos)
+from ugaitnet_tpu.eval.verification import verification_eer
+from ugaitnet_tpu.models.network import UGaitNet
+from ugaitnet_tpu.ops.knn import knn_predict
+from ugaitnet_tpu.ops.metrics import eer_verif_dist, video_majority_vote
+from ugaitnet_tpu.train.train_step import (
+    Batch, init_state, make_optimizer, make_train_step)
+
+
+def test_knn_matches_bruteforce_vote():
+    rng = np.random.RandomState(0)
+    gal = rng.randn(50, 8).astype(np.float32)
+    labs = rng.randint(0, 5, 50)
+    probes = rng.randn(20, 8).astype(np.float32)
+    pred = knn_predict(probes, gal, labs, k=3)
+    # brute force oracle (sklearn semantics: uniform vote, smallest class
+    # wins ties via argmax over sorted classes)
+    d = ((probes[:, None, :] - gal[None, :, :]) ** 2).sum(-1)
+    for i in range(20):
+        nn = np.argsort(d[i], kind="stable")[:3]
+        votes = labs[nn]
+        ulab, cnt = np.unique(votes, return_counts=True)
+        assert pred[i] == ulab[np.argmax(cnt)]
+
+
+def test_eer_separable_is_zero():
+    gt = np.array([1, 1, 1, 0, 0, 0])
+    dist = np.array([0.1, 0.2, 0.15, 0.9, 0.8, 0.95])
+    eer, thr = eer_verif_dist(gt, dist)
+    assert eer == 0.0
+    assert 0.2 <= thr <= 0.8
+
+
+def test_eer_reference_toy_example():
+    # /root/reference/nets/mj_metrics.py:29-31 toy: one 0-labelled score
+    # (0.07) sits inside the positive range -> fpr 0.25 at the crossing
+    y = np.array([1, 1, 1, 1, 1, 0, 0, 0, 0])
+    y_pred = np.array([0.01, 0.02, 0.015, 0.08, 0.05, 0.07, 0.2, 0.15, 0.18])
+    eer, _ = eer_verif_dist(y, y_pred)
+    assert abs(eer - 0.25) < 1e-9
+
+
+def test_video_majority_vote():
+    pred = np.array([1, 1, 2, 3, 3, 3])
+    gt = np.array([1, 1, 1, 3, 3, 3])
+    vids = np.array([0, 0, 0, 1, 1, 1])
+    acc, vp, vg = video_majority_vote(pred, gt, vids)
+    assert acc == 1.0
+    np.testing.assert_array_equal(vp, [1, 3])
+
+
+def test_modality_combos():
+    c = modality_combos(2)
+    assert len(c) == 3
+    assert (1.0, 1.0) in c and (0.0, 1.0) in c
+
+
+def test_verification_eer_random_codes_near_half():
+    rng = np.random.RandomState(0)
+    codes = rng.randn(200, 16)
+    labels = rng.randint(0, 10, 200)
+    out = verification_eer(codes, labels)
+    assert 0.2 < out["eer"] < 0.8
+
+
+@pytest.fixture(scope="module")
+def trained():
+    """Train a tiny 2-mod model on separable synthetic data."""
+    ds = make_synthetic_dataset(num_subjects=6, videos_per_subject=4,
+                                subseqs_per_video=3, num_cams=3, seed=3)
+    mcfg = ModelConfig(
+        branches=(BranchConfig(kind="gaitset", modality="of",
+                               gaitset_channels=(8, 8, 16), part_dim=16),
+                  BranchConfig(kind="gaitset", modality="gray",
+                               gaitset_channels=(8, 8, 16), part_dim=16)),
+        merge="sign_max", nclasses=6)
+    tcfg = TrainConfig(lr=1e-3, loss_weights=(1.0, 0.1))
+    model = UGaitNet(mcfg)
+    tx = make_optimizer(tcfg)
+    state = init_state(model, tx, jax.random.PRNGKey(0))
+    step = make_train_step(model, tx, mcfg, tcfg)
+    pipe = GaitPipeline(ds, DataConfig(batch_size=12, expand_level=2,
+                                       augment=False),
+                        ("of", "gray"), labmap=ds.label_map(), augment=False)
+    sampler = BalancedGaitSampler(ds.labels, ds.gaits, batch_size=12,
+                                  repetition=2, seed=0)
+    for i in range(25):
+        idx = sampler.next_batch()
+        vols, flags, labels = pipe.load(idx, jax.random.PRNGKey(i))
+        state, m = step(state, Batch(tuple(vols), tuple(flags), labels),
+                        jax.random.PRNGKey(1000 + i))
+    return ds, model, state, m
+
+
+def test_end_to_end_openworld(trained):
+    ds, model, state, metrics = trained
+    assert np.isfinite(float(metrics["loss"]))
+    ecfg = EvalConfig(knn=3, typecode=3, batch_size=32)
+    gallery = encode_set(model, state.params, ds, ("of", "gray"), ecfg)
+    assert gallery.codes.shape == (len(ds), 62 * 16)
+
+    # probe with the same set from a "different camera" protocol-wise
+    for probe_cam in np.unique(ds.cams):
+        sel = np.where(ds.cams == probe_cam)[0]
+        probe = EncodedSet(gallery.codes[sel], gallery.labels[sel],
+                           gallery.video_ids[sel], gallery.cams[sel])
+        res = eval_camera_pairs(gallery, probe, probe_camera=int(probe_cam),
+                                knn=3, cameras=np.unique(ds.cams).tolist())
+        assert res["rank1_subseq"] > 0.5  # separable synthetic data
+        assert res["rank1_video"] >= res["rank1_subseq"] - 0.2
+
+
+def test_openset_video_merged(trained):
+    ds, model, state, _ = trained
+    ecfg = EvalConfig(knn=3, typecode=3, batch_size=32)
+    gallery = encode_set(model, state.params, ds, ("of", "gray"), ecfg)
+    res = eval_openset(gallery, gallery, knn=1)
+    assert res["rank1_subseq"] == 1.0  # self-match with k=1
+    assert res["rank1_video_merged"] > 0.8
+
+
+def test_missing_modality_eval_combo(trained):
+    ds, model, state, _ = trained
+    ecfg = EvalConfig(knn=3, typecode=3, batch_size=32)
+    res = eval_all_combos(model, state.params, ds, ds, ("of", "gray"), ecfg)
+    assert set(res.keys()) == {"of", "gray", "of+gray"}
+    # multimodal should not be (much) worse than either single modality
+    assert res["of+gray"]["rank1_subseq"] >= 0.5
+
+
+def test_encode_mirror_doubles(trained):
+    ds, model, state, _ = trained
+    codes, labels, vids, cams = encode_dataset(
+        model, state.params, ds, ("of", "gray"), typecode=3, batch_size=32,
+        mirror=True)
+    assert codes.shape[0] == 2 * len(ds)
+    assert labels.shape[0] == 2 * len(ds)
+
+
+def test_gallery_cache_roundtrip(tmp_path, trained):
+    ds, model, state, _ = trained
+    ecfg = EvalConfig(batch_size=32)
+    path = str(tmp_path / "gal.npz")
+    g1 = encode_set(model, state.params, ds, ("of", "gray"), ecfg,
+                    cache_path=path)
+    g2 = encode_set(model, state.params, ds, ("of", "gray"), ecfg,
+                    cache_path=path)
+    np.testing.assert_array_equal(g1.codes, g2.codes)

@@ -1,0 +1,88 @@
+"""Signature extraction for evaluation.
+
+Device-batched equivalent of the reference's `evalUWYHNet_set` encode loop
+(/root/reference/mains/mj_testUWYHGaitNet_open_casiab.py:55-245): iterate the
+dataset deterministically (expand=1, no shuffle, trailing partial batch
+included), tap the requested embedding, optionally add mirrored copies, and
+return codes + labels + video ids + cams on host.
+
+typecode parity (:157-166): 1 -> "signature", 3 -> "flatten", else "code".
+Rank-3 part signatures are flattened per sample so kNN sees one vector per
+subsequence (what the reference's "flatten" tap produces; its typecode=1 on
+a gaitset net was effectively unusable).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from ugaitnet_tpu.core.config import DataConfig
+from ugaitnet_tpu.data.pipeline import GaitPipeline
+from ugaitnet_tpu.data.sampler import SequentialSampler
+from ugaitnet_tpu.data.schema import GaitDataset
+from ugaitnet_tpu.models.network import UGaitNet
+from ugaitnet_tpu.ops.augment import mirror_volume
+
+TYPECODE_TAP = {1: "signature", 3: "flatten"}
+
+
+def _tap(out: Dict[str, jax.Array], typecode: int) -> jax.Array:
+    name = TYPECODE_TAP.get(typecode, "code")
+    x = out.get(name, out["signature"])
+    if x.ndim == 3:
+        x = x.reshape(x.shape[0], -1)
+    return x
+
+
+def make_encode_fn(model: UGaitNet, typecode: int = 3):
+    @jax.jit
+    def encode(params, volumes, use_flags):
+        out = model.apply(params, list(volumes), list(use_flags),
+                          train=False)
+        return _tap(out, typecode)
+    return encode
+
+
+def encode_dataset(model: UGaitNet, params, ds: GaitDataset,
+                   modalities: Sequence[str],
+                   typecode: int = 3, batch_size: int = 128,
+                   use_mods: Optional[Sequence[float]] = None,
+                   mirror: bool = False,
+                   indices: Optional[np.ndarray] = None
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (codes (N,D), labels, video_ids, cams) — raw label space.
+
+    use_mods masks whole modalities at encode time (the eval scripts'
+    use_mod1/use_mod2 args and the TUM all-combos protocol). mirror=True
+    appends a horizontally-mirrored copy of every batch (usemirror gallery
+    option, mj_testUWYHGaitNet_open_casiab.py:194-206).
+    """
+    cfg = DataConfig(batch_size=batch_size, expand_level=1, augment=False)
+    pipe = GaitPipeline(ds, cfg, modalities, labmap=None, indices=indices,
+                        augment=False)
+    n = len(pipe.indices)
+    encode = make_encode_fn(model, typecode)
+    if use_mods is None:
+        use_mods = [1.0] * len(modalities)
+
+    codes, metas = [], []
+    key = jax.random.PRNGKey(0)
+    for batch_idx in SequentialSampler(n, batch_size).epoch():
+        vols, flags, _ = pipe.load(batch_idx, key, expand=1)
+        flags = [f * u for f, u in zip(flags, use_mods)]
+        codes.append(np.asarray(encode(params, tuple(vols), tuple(flags))))
+        metas.append(batch_idx)
+        if mirror:
+            mvols = [jax.vmap(
+                lambda v, m=m: mirror_volume(v, is_of=(m == "of")))(v)
+                for v, m in zip(vols, modalities)]
+            codes.append(np.asarray(encode(params, tuple(mvols),
+                                           tuple(flags))))
+            metas.append(batch_idx)
+
+    sel = pipe.indices[np.concatenate(metas)]
+    return (np.concatenate(codes), np.asarray(ds.labels[sel]),
+            np.asarray(ds.video_ids[sel]), np.asarray(ds.cams[sel]))

@@ -1,0 +1,160 @@
+"""Open-world evaluation protocols.
+
+Re-derivations of the two reference eval drivers:
+
+  * CASIA-B camera-pair protocol
+    (/root/reference/mains/mj_testUWYHGaitNet_open_casiab.py:252-445):
+    embed the "ft" gallery once (cached), then for every probe condition and
+    every gallery camera != probe camera run kNN; report subsequence Rank-1
+    and per-video majority-vote Rank-1; average over the 10 gallery cameras.
+
+  * TUM-GAID protocol with video-level merged codes
+    (/root/reference/mains/mj_testUWYHGaitNet_open_tum.py:355-446): kNN at
+    subsequence level plus a second classifier over per-video averaged (or
+    maxed) codes; optional all-modality-combination galleries (--allcombos)
+    and per-combo probe sweeps (--allcombostest).
+
+The kNN itself runs on device (ops/knn.py).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ugaitnet_tpu.core.config import EvalConfig
+from ugaitnet_tpu.data.schema import GaitDataset
+from ugaitnet_tpu.eval.encode import encode_dataset
+from ugaitnet_tpu.models.network import UGaitNet
+from ugaitnet_tpu.ops.knn import knn_predict
+from ugaitnet_tpu.ops.metrics import rank1_accuracy, video_majority_vote
+
+
+@dataclass
+class EncodedSet:
+    codes: np.ndarray
+    labels: np.ndarray
+    video_ids: np.ndarray
+    cams: np.ndarray
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(path, codes=self.codes, labels=self.labels,
+                            video_ids=self.video_ids, cams=self.cams)
+
+    @classmethod
+    def load(cls, path: str) -> "EncodedSet":
+        z = np.load(path)
+        return cls(codes=z["codes"], labels=z["labels"],
+                   video_ids=z["video_ids"], cams=z["cams"])
+
+
+def encode_set(model: UGaitNet, params, ds: GaitDataset,
+               modalities: Sequence[str], cfg: EvalConfig,
+               use_mods: Optional[Sequence[float]] = None,
+               mirror: bool = False,
+               cache_path: Optional[str] = None) -> EncodedSet:
+    """Embed a dataset, with the reference's gallery-code caching
+    (codes_gallery_*.h5 pattern, mj_testUWYHGaitNet_open_casiab.py:291-324)."""
+    if cache_path and os.path.exists(cache_path):
+        return EncodedSet.load(cache_path)
+    codes, labels, vids, cams = encode_dataset(
+        model, params, ds, modalities, typecode=cfg.typecode,
+        batch_size=cfg.batch_size, use_mods=use_mods, mirror=mirror)
+    es = EncodedSet(codes, labels, vids, cams)
+    if cache_path:
+        es.save(cache_path)
+    return es
+
+
+def eval_camera_pairs(gallery: EncodedSet, probe: EncodedSet,
+                      probe_camera: int, knn: int = 3,
+                      cameras: Sequence[int] = (0, 18, 36, 54, 72, 90, 108,
+                                                126, 144, 162, 180)
+                      ) -> Dict[str, float]:
+    """CASIA-B: average subseq/video Rank-1 over gallery cams != probe cam."""
+    accs_sub, accs_vid = [], []
+    for cam_g in cameras:
+        if cam_g == probe_camera:
+            continue
+        sel = np.where(gallery.cams == cam_g)[0]
+        if len(sel) == 0:
+            continue
+        pred = knn_predict(probe.codes, gallery.codes[sel],
+                           gallery.labels[sel], k=knn)
+        accs_sub.append(rank1_accuracy(pred, probe.labels))
+        acc_vid, _, _ = video_majority_vote(pred, probe.labels,
+                                            probe.video_ids)
+        accs_vid.append(acc_vid)
+    return {"rank1_subseq": float(np.mean(accs_sub)) if accs_sub else 0.0,
+            "rank1_video": float(np.mean(accs_vid)) if accs_vid else 0.0}
+
+
+def _merge_codes_per_video(es: EncodedSet, use_avg: bool = True
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-video merged codes + labels (mean or max pooling,
+    mj_testUWYHGaitNet_open_tum.py:355-420)."""
+    uvids = np.unique(es.video_ids)
+    codes, labels = [], []
+    for v in uvids:
+        sel = es.video_ids == v
+        c = es.codes[sel]
+        codes.append(c.mean(axis=0) if use_avg else c.max(axis=0))
+        labs, counts = np.unique(es.labels[sel], return_counts=True)
+        labels.append(labs[np.argmax(counts)])
+    return np.stack(codes), np.asarray(labels)
+
+
+def eval_openset(gallery: EncodedSet, probe: EncodedSet, knn: int = 3,
+                 use_avg: bool = True) -> Dict[str, float]:
+    """TUM-style: subseq kNN + per-video vote + merged-code video kNN."""
+    pred = knn_predict(probe.codes, gallery.codes, gallery.labels, k=knn)
+    out = {"rank1_subseq": rank1_accuracy(pred, probe.labels)}
+    acc_vid, _, _ = video_majority_vote(pred, probe.labels, probe.video_ids)
+    out["rank1_video_vote"] = acc_vid
+
+    gal_codes, gal_labels = _merge_codes_per_video(gallery, use_avg)
+    pr_codes, pr_labels = _merge_codes_per_video(probe, use_avg)
+    pred_vid = knn_predict(pr_codes, gal_codes, gal_labels, k=knn)
+    out["rank1_video_merged"] = rank1_accuracy(pred_vid, pr_labels)
+    return out
+
+
+def modality_combos(nmods: int) -> List[Tuple[float, ...]]:
+    """All non-empty modality presence combinations (TUM --allcombos,
+    mj_testUWYHGaitNet_open_tum.py:276-296)."""
+    out = []
+    for bits in itertools.product([0.0, 1.0], repeat=nmods):
+        if any(bits):
+            out.append(bits)
+    return out
+
+
+def eval_all_combos(model: UGaitNet, params, gallery_ds: GaitDataset,
+                    probe_ds: GaitDataset, modalities: Sequence[str],
+                    cfg: EvalConfig, combo_gallery: bool = False,
+                    use_avg: bool = True) -> Dict[str, Dict[str, float]]:
+    """Probe every modality-presence combo (--allcombostest); optionally
+    build the gallery from all combos stacked (--allcombos)."""
+    if combo_gallery:
+        parts = [encode_set(model, params, gallery_ds, modalities, cfg,
+                            use_mods=c) for c in modality_combos(len(modalities))]
+        gallery = EncodedSet(
+            codes=np.concatenate([p.codes for p in parts]),
+            labels=np.concatenate([p.labels for p in parts]),
+            video_ids=np.concatenate([p.video_ids for p in parts]),
+            cams=np.concatenate([p.cams for p in parts]))
+    else:
+        gallery = encode_set(model, params, gallery_ds, modalities, cfg)
+
+    results = {}
+    for combo in modality_combos(len(modalities)):
+        probe = encode_set(model, params, probe_ds, modalities, cfg,
+                           use_mods=combo)
+        name = "+".join(m for m, c in zip(modalities, combo) if c)
+        results[name] = eval_openset(gallery, probe, knn=cfg.knn,
+                                     use_avg=use_avg)
+    return results
