@@ -1,0 +1,125 @@
+"""Open-world evaluation entry point.
+
+Mirrors /root/reference/mains/mj_testUWYHGaitNet_open_casiab.py:445-560 and
+mj_testUWYHGaitNet_open_tum.py: load a trained experiment, embed the gallery
+(cached) and probe sets, and run either the CASIA-B camera-pair protocol or
+the TUM merged-code protocol, optionally sweeping modality combos.
+
+Example:
+  python -m ugaitnet_tpu.cli.evaluate --experdir /exp/... --epoch -1 \
+      --gallery /data/casiab_ft_packed --probes /data/casiab_test_nm_packed \
+      --protocol casiab --knn 3 --typecode 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("ugaitnet-eval")
+    p.add_argument("--experdir", type=str, required=True)
+    p.add_argument("--epoch", type=int, default=-1,
+                   help="checkpoint epoch (-1 = latest)")
+    p.add_argument("--gallery", type=str, required=True,
+                   help="packed gallery dataset dir ('ft' split)")
+    p.add_argument("--probes", type=str, nargs="+", required=True,
+                   help="packed probe dataset dir(s)")
+    p.add_argument("--protocol", type=str, default="casiab",
+                   choices=["casiab", "openset"])
+    p.add_argument("--knn", type=int, default=3)
+    p.add_argument("--typecode", type=int, default=3)
+    p.add_argument("--usemirror", action="store_true")
+    p.add_argument("--useavg", action="store_true", default=True)
+    p.add_argument("--allcombos", action="store_true",
+                   help="gallery from all modality combos")
+    p.add_argument("--allcombostest", action="store_true",
+                   help="sweep probe modality combos")
+    p.add_argument("--usemod", type=float, nargs="+", default=None,
+                   help="modality presence mask at eval, e.g. 1 0")
+    p.add_argument("--bs", type=int, default=128)
+    p.add_argument("--outfile", type=str, default="")
+    return p
+
+
+def load_experiment(experdir: str, epoch: int):
+    from ugaitnet_tpu.core import checkpoint as ckpt
+    from ugaitnet_tpu.core.config import load_json
+    from ugaitnet_tpu.models.network import UGaitNet, init_params
+    from ugaitnet_tpu.train.train_step import init_state, make_optimizer
+    import jax
+
+    cfgs = load_json(os.path.join(experdir, "config.json"))
+    mcfg, tcfg = cfgs["model"], cfgs["train"]
+    model = UGaitNet(mcfg)
+    tx = make_optimizer(tcfg)
+    target = init_state(model, tx, jax.random.PRNGKey(0))
+    step = (ckpt.latest_checkpoint_step(experdir) if epoch < 0 else epoch)
+    if step is None:
+        raise SystemExit(f"no checkpoint found in {experdir}")
+    state = ckpt.restore_checkpoint(experdir, step, target)
+    return model, state, mcfg, step
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ugaitnet_tpu.core.config import EvalConfig
+    from ugaitnet_tpu.data.schema import GaitDataset
+    from ugaitnet_tpu.eval.protocol import (
+        encode_set, eval_all_combos, eval_camera_pairs, eval_openset)
+
+    model, state, mcfg, step = load_experiment(args.experdir, args.epoch)
+    modalities = tuple(b.modality for b in mcfg.branches)
+    ecfg = EvalConfig(knn=args.knn, typecode=args.typecode,
+                      batch_size=args.bs,
+                      mirror_gallery=args.usemirror)
+
+    gallery_ds = GaitDataset.load(args.gallery)
+    cache = os.path.join(
+        args.experdir,
+        f"codes_gallery_e{step}_t{args.typecode}"
+        f"_mir{int(args.usemirror)}.npz")
+    gallery = encode_set(model, state.params, gallery_ds, modalities, ecfg,
+                         mirror=args.usemirror, cache_path=cache)
+
+    results = {}
+    for probe_dir in args.probes:
+        probe_ds = GaitDataset.load(probe_dir)
+        name = os.path.basename(probe_dir.rstrip("/"))
+        if args.allcombostest or args.allcombos:
+            results[name] = eval_all_combos(
+                model, state.params, gallery_ds, probe_ds, modalities, ecfg,
+                combo_gallery=args.allcombos, use_avg=args.useavg)
+        else:
+            probe = encode_set(model, state.params, probe_ds, modalities,
+                               ecfg, use_mods=args.usemod)
+            if args.protocol == "casiab":
+                per_cam = {}
+                for cam in np.unique(probe.cams):
+                    sel = probe.cams == cam
+                    from ugaitnet_tpu.eval.protocol import EncodedSet
+                    sub = EncodedSet(probe.codes[sel], probe.labels[sel],
+                                     probe.video_ids[sel], probe.cams[sel])
+                    per_cam[int(cam)] = eval_camera_pairs(
+                        gallery, sub, probe_camera=int(cam), knn=args.knn,
+                        cameras=np.unique(gallery.cams).tolist())
+                results[name] = per_cam
+            else:
+                results[name] = eval_openset(gallery, probe, knn=args.knn,
+                                             use_avg=args.useavg)
+
+    out = json.dumps(results, indent=2, default=float)
+    print(out)
+    outfile = args.outfile or os.path.join(
+        args.experdir, f"results_e{step}_k{args.knn}_t{args.typecode}.json")
+    with open(outfile, "w") as f:
+        f.write(out)
+    print(f"* results saved to {outfile}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Training entry point.
+
+Mirrors the flag surface of the reference training mains
+(/root/reference/mains/mj_trainUWYHGaitNet_DataGen_CasiaB.py:568-769 and
+siblings) on top of the TPU-native stack: one CLI covers the 1/2/3-modality
+regimes, branch kinds, merges, and sharding.
+
+Examples:
+  # flagship CASIA-B 2-mod config (gaitset + sign_max, README.md:31-50)
+  python -m ugaitnet_tpu.cli.train --datadir /data/casiab_packed \
+      --mod0 of --mod1 gray --nclasses 74 --gaitset --mergefun sign_max \
+      --bs 40 --lr 1e-4 --margin 0.2 --wver 1.0 --wid 0.1 \
+      --epochs 75 --extraepochs 25 --repetitions 5 --experdir /exp
+
+  # smoke run on synthetic data
+  python -m ugaitnet_tpu.cli.train --synthetic --epochs 2 --bs 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("ugaitnet-train")
+    p.add_argument("--datadir", type=str, default="",
+                   help="packed GaitDataset directory (data/schema.py)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on the synthetic in-memory dataset")
+    p.add_argument("--experdir", type=str, default="./experiments")
+    p.add_argument("--experfix", type=str, default="demo")
+    p.add_argument("--mod0", type=str, default="of")
+    p.add_argument("--mod1", type=str, default="gray")
+    p.add_argument("--mod2", type=str, default="",
+                   help="third modality (e.g. depth) for 3-mod training")
+    p.add_argument("--singlemod", action="store_true",
+                   help="single-modality net (uses --mod0 only)")
+    p.add_argument("--nclasses", type=int, default=74)
+    p.add_argument("--gaitset", action="store_true", default=True)
+    p.add_argument("--no-gaitset", dest="gaitset", action="store_false")
+    p.add_argument("--use3d", action="store_true",
+                   help="3D conv branches instead of 2D")
+    p.add_argument("--mergefun", type=str, default="max",
+                   choices=["max", "average", "sign_max"])
+    p.add_argument("--casenet", type=str, default="D",
+                   help="B/D: no extra dense; C: extra 256-d code head")
+    p.add_argument("--postriplet", type=int, default=1)
+    p.add_argument("--auxlosses", action="store_true")
+    p.add_argument("--bs", "--batchsize", dest="bs", type=int, default=40)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--dropout", type=float, default=0.4)
+    p.add_argument("--optimizer", type=str, default="adam")
+    p.add_argument("--margin", type=float, default=0.2)
+    p.add_argument("--wver", type=float, default=1.0,
+                   help="triplet loss weight")
+    p.add_argument("--wid", type=float, default=0.1, help="id CE weight")
+    p.add_argument("--softlabel", type=float, default=0.0)
+    p.add_argument("--focal", action="store_true")
+    p.add_argument("--tripletkind", type=str, default="batch_all",
+                   choices=["batch_all", "semi_hard", "hard"])
+    p.add_argument("--epochs", type=int, default=75)
+    p.add_argument("--extraepochs", type=int, default=0)
+    p.add_argument("--savemodelfreq", type=int, default=5)
+    p.add_argument("--repetitions", type=int, default=5)
+    p.add_argument("--expandlevel", type=int, default=3)
+    p.add_argument("--noaugment", action="store_true")
+    p.add_argument("--valperc", type=float, default=0.08)
+    p.add_argument("--ndevices", type=int, default=0,
+                   help="data-parallel devices (0 = single device)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (params stay fp32)")
+    p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def configs_from_args(args):
+    from ugaitnet_tpu.core.config import (BranchConfig, DataConfig,
+                                          ModelConfig, TrainConfig)
+    kind = "gaitset" if args.gaitset else ("conv3d" if args.use3d
+                                           else "conv2d")
+    mods = [args.mod0]
+    if not args.singlemod:
+        mods.append(args.mod1)
+        if args.mod2:
+            mods.append(args.mod2)
+    branches = tuple(
+        BranchConfig(kind=kind, modality=m, dropout=args.dropout)
+        for m in mods)
+    mcfg = ModelConfig(
+        branches=branches, merge=args.mergefun, nclasses=args.nclasses,
+        extra_dense=(256,) if args.casenet == "C" else (),
+        postriplet=args.postriplet, dropout_code=args.dropout,
+        aux_losses=args.auxlosses,
+        compute_dtype="bfloat16" if args.bf16 else "float32")
+    dcfg = DataConfig(batch_size=args.bs, expand_level=args.expandlevel,
+                      repetitions=args.repetitions,
+                      augment=not args.noaugment)
+    tcfg = TrainConfig(
+        optimizer=args.optimizer, lr=args.lr, epochs=args.epochs,
+        extra_epochs=args.extraepochs, margin=args.margin,
+        loss_weights=(args.wver, args.wid), label_smoothing=args.softlabel,
+        use_focal=args.focal, triplet_kind=args.tripletkind,
+        save_every_epochs=args.savemodelfreq, seed=args.seed,
+        dp_devices=args.ndevices)
+    return mcfg, dcfg, tcfg
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ugaitnet_tpu.data.schema import GaitDataset
+    from ugaitnet_tpu.data.synthetic import make_synthetic_dataset
+    from ugaitnet_tpu.train.trainer import Trainer, experiment_name
+
+    mcfg, dcfg, tcfg = configs_from_args(args)
+    if args.synthetic:
+        ds = make_synthetic_dataset(
+            num_subjects=max(args.nclasses, 2) if args.nclasses <= 16 else 8,
+            modalities=tuple(b.modality for b in mcfg.branches))
+        mcfg = mcfg if mcfg.nclasses <= 16 else None
+        if mcfg is None:
+            raise SystemExit("--synthetic needs --nclasses <= 16")
+    else:
+        if not args.datadir:
+            raise SystemExit("--datadir or --synthetic required")
+        ds = GaitDataset.load(args.datadir)
+
+    experdir = os.path.join(
+        args.experdir, experiment_name(mcfg, dcfg, tcfg, args.experfix))
+    print(f"* experiment dir: {experdir}", flush=True)
+
+    mesh = None
+    if args.ndevices:
+        from ugaitnet_tpu.parallel.sharding import make_mesh
+        mesh = make_mesh(args.ndevices)
+
+    trainer = Trainer(mcfg, dcfg, tcfg, experdir,
+                      use_tensorboard=args.tensorboard, mesh=mesh)
+    trainer.fit(ds, val_perc=args.valperc, seed=args.seed)
+    print("* training done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

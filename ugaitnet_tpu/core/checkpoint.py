@@ -1,0 +1,85 @@
+"""Checkpointing and resume.
+
+Orbax-backed replacement for the reference's three-artifact scheme
+(model-state-{epoch}.hdf5 / _weights.hdf5 / model-config.hdf5 + info.json,
+/root/reference/mains/mj_trainUWYHGaitNet_DataGen_CasiaB.py:475-531) and its
+resume scan `mj_findLatestFileModel` (/root/reference/utils/mj_netUtils.py:8-29):
+one checkpoint per saved epoch under <experdir>/ckpt/<epoch>, plus
+config.json written once (core/config.dump_json).
+
+Also provides "surgery" restore — load a checkpoint whose classifier head
+has a different class count, keeping every compatible weight (parity with
+load_weights(by_name=True, skip_mismatch=True),
+/root/reference/nets/mj_uwyhNets_ba.py:610-630).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _ckpt_root(experdir: str) -> str:
+    return os.path.join(os.path.abspath(experdir), "ckpt")
+
+
+def save_checkpoint(experdir: str, step: int, state: Any) -> str:
+    """Save a pytree (TrainState or params) at integer step/epoch."""
+    path = os.path.join(_ckpt_root(experdir), str(int(step)))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(state), force=True)
+    return path
+
+
+def latest_checkpoint_step(experdir: str, epoch_max: Optional[int] = None
+                           ) -> Optional[int]:
+    """Newest saved step <= epoch_max (mj_findLatestFileModel parity)."""
+    root = _ckpt_root(experdir)
+    if not os.path.isdir(root):
+        return None
+    steps = [int(d) for d in os.listdir(root) if re.fullmatch(r"\d+", d)]
+    if epoch_max is not None:
+        steps = [s for s in steps if s <= epoch_max]
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(experdir: str, step: int, target: Any) -> Any:
+    """Restore into the structure of `target` (same pytree layout)."""
+    path = os.path.join(_ckpt_root(experdir), str(int(step)))
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, jax.device_get(target))
+
+
+def restore_params_surgery(experdir: str, step: int, target_params: Any
+                           ) -> Any:
+    """Restore params, keeping target's weights wherever shapes mismatch
+    (classifier-head surgery when nclasses changes)."""
+    path = os.path.join(_ckpt_root(experdir), str(int(step)))
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path)
+
+    def merge(t, r):
+        try:
+            r = np.asarray(r)
+            t_arr = np.asarray(t)
+            if r.shape == t_arr.shape:
+                return r.astype(t_arr.dtype)
+        except Exception:
+            pass
+        return t
+
+    # walk both dict trees by key; missing/mismatched keys keep target
+    def walk(t, r):
+        if isinstance(t, dict):
+            return {k: walk(v, r.get(k)) if isinstance(r, dict) else v
+                    for k, v in t.items()}
+        if r is None:
+            return t
+        return merge(t, r)
+
+    return walk(target_params, restored)

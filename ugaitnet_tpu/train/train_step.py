@@ -37,18 +37,33 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """All optimizers are wrapped in inject_hyperparams so the learning rate
+    lives in opt_state and host-side schedulers (train/schedule.py) can
+    change it without recompiling the jitted step."""
     name = cfg.optimizer.lower()
     if name == "adam":
-        return optax.adam(cfg.lr)
+        return optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
     if name == "amsgrad":
-        return optax.amsgrad(cfg.lr)
+        return optax.inject_hyperparams(optax.amsgrad)(learning_rate=cfg.lr)
     if name == "adamw":
-        return optax.adamw(cfg.lr, weight_decay=1e-4)
+        return optax.inject_hyperparams(optax.adamw)(
+            learning_rate=cfg.lr, weight_decay=1e-4)
     if name == "sgd":
         # Keras SGD(lr, momentum, decay=1e-05): inverse-time lr decay
         sched = lambda count: cfg.lr / (1.0 + 1e-5 * count)
-        return optax.sgd(sched, momentum=cfg.momentum)
+        return optax.inject_hyperparams(optax.sgd)(
+            learning_rate=sched, momentum=cfg.momentum)
     raise ValueError(f"unknown optimizer {cfg.optimizer}")
+
+
+def get_lr(state: "TrainState") -> float:
+    return float(state.opt_state.hyperparams["learning_rate"])
+
+
+def set_lr(state: "TrainState", lr: float) -> "TrainState":
+    hp = dict(state.opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return state.replace(opt_state=state.opt_state._replace(hyperparams=hp))
 
 
 def l2_regularization(params: Any, mcfg: ModelConfig) -> jax.Array:
