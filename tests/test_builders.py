@@ -1,0 +1,122 @@
+"""Offline builders: windowing, recentering, quantization, partitions,
+joint-dataset combination."""
+
+import numpy as np
+import pytest
+
+from ugaitnet_tpu.data.builders import (
+    TrackedVideo, build_dataset, extract_windows, hshift_crop,
+    merge_modalities, resize_bilinear)
+from ugaitnet_tpu.data.convert import combine_datasets
+from ugaitnet_tpu.data.partitions import (
+    CASIA_GAIT_OFFSET, CASIA_LABEL_OFFSET, get_partition)
+from ugaitnet_tpu.data.synthetic import make_synthetic_dataset
+
+
+def _video(t=80, h=240, w=320, c=1, label=5, gait=0, cam=36):
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 255, (t, h, w) if c == 1 else (t, h, w, c)
+                         ).astype(np.uint8)
+    # a person walking left->right: bb centroid moves across the frame
+    boxes = np.zeros((t, 4))
+    for i in range(t):
+        x = 40 + i * 2
+        boxes[i] = [60, x, 200, x + 60]  # ymin xmin ymax xmax
+    return TrackedVideo(frames=frames, boxes=boxes, label=label, gait=gait,
+                        cam=cam, video_id=7)
+
+
+def test_window_count_matches_reference_rule():
+    v = _video(t=80)
+    wins = extract_windows(v, "gray", n_frames=25, step=5)
+    # i in 0,5,...: while i+1+25 < 80 -> i in {0,...,50}: 11 windows
+    assert len(wins) == 11
+    assert wins[0].shape == (25, 60, 60)
+
+
+def test_recentering_puts_centroid_at_col30():
+    """Build a video whose frames carry a vertical stripe at the bb centroid;
+    after recentering, the stripe must sit at column 30."""
+    t, h, w = 40, 240, 320
+    frames = np.zeros((t, h, w), np.uint8)
+    boxes = np.zeros((t, 4))
+    cx_src = 200
+    for i in range(t):
+        frames[i, :, cx_src - 2:cx_src + 2] = 255
+        boxes[i] = [0, cx_src - 30, 239, cx_src + 30]
+    v = TrackedVideo(frames=frames, boxes=boxes, label=1, gait=0)
+    wins = extract_windows(v, "gray", n_frames=25, step=5)
+    mid = wins[0][12]
+    col_mass = mid.sum(axis=0)
+    assert abs(int(np.argmax(col_mass)) - 30) <= 1
+
+
+def test_of_windows_interleave_and_quantize():
+    rng = np.random.RandomState(1)
+    t = 40
+    frames = (rng.randn(t, 240, 320, 2) * 500).astype(np.int16)
+    boxes = np.tile(np.array([60.0, 130, 200, 190]), (t, 1))
+    v = TrackedVideo(frames=frames, boxes=boxes, label=2, gait=1)
+    ds = build_dataset([v], "of", name="t")
+    assert ds.modalities["of"].volumes.dtype == np.int16
+    assert ds.modalities["of"].volumes.shape[1:] == (50, 60, 60)
+    assert ds.modalities["of"].compress_factor == 100.0
+    assert (ds.labels == 2).all() and (ds.gaits == 1).all()
+
+
+def test_build_and_merge_modalities():
+    v = _video()
+    frames_of = np.repeat(v.frames[..., None], 2, axis=-1).astype(np.int16)
+    v_of = TrackedVideo(frames=frames_of, boxes=v.boxes, label=v.label,
+                        gait=v.gait, cam=v.cam, video_id=v.video_id)
+    d_gray = build_dataset([v], "gray", name="g")
+    d_of = build_dataset([v_of], "of", name="o")
+    merged = merge_modalities([d_of, d_gray], name="m")
+    assert set(merged.modality_names) == {"of", "gray"}
+    assert len(merged) == len(d_gray)
+
+
+def test_resize_matches_cv2_if_available():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.RandomState(0)
+    img = rng.rand(24, 32).astype(np.float32)
+    ours = resize_bilinear(img, 16, 12)
+    theirs = cv2.resize(img, (16, 12), interpolation=cv2.INTER_LINEAR)
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+def test_hshift_matches_cv2_warp():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.RandomState(0)
+    img = rng.rand(60, 80).astype(np.float32)
+    for shift in (-12.5, 0.0, 7.25):
+        ours = hshift_crop(img, shift, 60)
+        M = np.float32([[1, 0, shift], [0, 1, 0]])
+        theirs = cv2.warpAffine(img, M, (60, 60))
+        np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+def test_partitions_catalog():
+    p = get_partition("casiab", "train")
+    assert len(p.subject_ids) == 74
+    assert len(p.conditions) == 10
+    assert len(p.cameras) == 11
+    g = get_partition("casiab", "ft")
+    assert g.subject_ids[0] == 75 and len(g.subject_ids) == 50
+    assert all(c.startswith("nm") for c in g.conditions)
+    t = get_partition("tum_gaid", "train")
+    assert len(t.subject_ids) == 150 and len(t.conditions) == 10
+    e = get_partition("tum_gaid", "elapsed")
+    assert all(c >= "n07" for c in e.conditions)
+
+
+def test_combine_datasets_offsets():
+    a = make_synthetic_dataset(num_subjects=3, seed=0, name="tum")
+    b = make_synthetic_dataset(num_subjects=2, seed=1, name="casia")
+    j = combine_datasets(a, b)
+    assert len(j) == len(a) + len(b)
+    assert j.labels[len(a):].min() >= CASIA_LABEL_OFFSET + 1
+    assert j.gaits[len(a):].min() == CASIA_GAIT_OFFSET
+    assert j.dataset_source.sum() == len(b)
+    # video ids disjoint
+    assert not (set(j.video_ids[:len(a)]) & set(j.video_ids[len(a):]))

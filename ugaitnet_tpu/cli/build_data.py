@@ -1,0 +1,111 @@
+"""Dataset build entry point.
+
+Mirrors the reference's generate*Data.py CLIs
+(/root/reference/data/generateOFData.py:25-49) but emits packed GaitDataset
+directories (one gather per training batch) instead of one h5 per window.
+
+Two source modes:
+  --import-ref DIR   convert an existing reference-format per-sample h5
+                     directory (the output of the original scripts)
+  --ofdir/--videodir + --trackdir
+                     build from raw OF .npz / video files + track .pkl files
+                     laid out like the reference expects
+  --synthetic        emit a synthetic packed dataset (smoke/testing)
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import pickle
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser("ugaitnet-build-data")
+    p.add_argument("--outdir", type=str, required=True)
+    p.add_argument("--modality", type=str, default="of",
+                   choices=["of", "gray", "depth", "silhouette", "rgb"])
+    p.add_argument("--dataset", type=str, default="casiab")
+    p.add_argument("--mode", type=str, default="train",
+                   help="train | ft | test_nm | test_bg | test_cl | elapsed")
+    p.add_argument("--import-ref", type=str, default="",
+                   help="reference-format per-sample h5 dir to convert")
+    p.add_argument("--ofdir", type=str, default="")
+    p.add_argument("--videodir", type=str, default="")
+    p.add_argument("--trackdir", type=str, default="")
+    p.add_argument("--nframes", type=int, default=25)
+    p.add_argument("--step", type=int, default=5)
+    p.add_argument("--synthetic", action="store_true")
+    return p
+
+
+def _iter_raw_videos(args):
+    """Yield TrackedVideo items from raw OF/video + track files following the
+    reference naming: <subject><condition>[-<cam>].{npz,avi} + .pkl."""
+    from ugaitnet_tpu.data.builders import TrackedVideo, load_video_frames
+    from ugaitnet_tpu.data.partitions import get_partition
+
+    spec = get_partition(args.dataset, args.mode)
+    video_id = 0
+    for sid in spec.subject_ids:
+        for cond in spec.conditions:
+            cams = spec.cameras or (0,)
+            for cam in cams:
+                if args.dataset.startswith("casia"):
+                    stem = f"{sid:03d}-{cond}-{cam:03d}"
+                else:
+                    stem = f"p{sid:03d}-{cond}"
+                track_path = os.path.join(args.trackdir, stem + ".pkl")
+                if not os.path.exists(track_path):
+                    continue
+                with open(track_path, "rb") as f:
+                    tracks, frame_ids = pickle.load(f)
+                if not len(tracks):
+                    continue
+                if args.modality == "of":
+                    src = os.path.join(args.ofdir, stem + ".npz")
+                    if not os.path.exists(src):
+                        continue
+                    of = np.load(src)["of"]
+                    frames = np.moveaxis(of, 1, -1)
+                else:
+                    src = os.path.join(args.videodir, stem + ".avi")
+                    if not os.path.exists(src):
+                        continue
+                    frames = load_video_frames(
+                        src, gray=(args.modality != "rgb"))
+                video_id += 1
+                yield TrackedVideo(
+                    frames=frames[np.asarray(frame_ids[0], int)]
+                    if args.modality != "of" else frames,
+                    boxes=np.asarray(tracks[0], float),
+                    label=sid, gait=spec.gait_of[cond], cam=cam,
+                    video_id=video_id)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.synthetic:
+        from ugaitnet_tpu.data.synthetic import make_synthetic_dataset
+        ds = make_synthetic_dataset()
+    elif args.import_ref:
+        from ugaitnet_tpu.data.convert import import_reference_dir
+        ds = import_reference_dir(args.import_ref, args.modality)
+    else:
+        from ugaitnet_tpu.data.builders import build_dataset
+        if not args.trackdir or not (args.ofdir or args.videodir):
+            raise SystemExit("need --import-ref, --synthetic, or raw dirs")
+        ds = build_dataset(
+            _iter_raw_videos(args), args.modality,
+            name=f"{args.dataset}_{args.mode}_{args.modality}",
+            n_frames=args.nframes, step=args.step)
+    ds.save(args.outdir)
+    print(f"* packed {len(ds)} samples "
+          f"({', '.join(ds.modality_names)}) -> {args.outdir}")
+
+
+if __name__ == "__main__":
+    main()
