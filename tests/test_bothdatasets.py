@@ -1,0 +1,107 @@
+"""Joint-dataset (BothDatasets) regime + pair verification training."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ugaitnet_tpu.core.config import (BranchConfig, DataConfig, ModelConfig,
+                                      TrainConfig)
+from ugaitnet_tpu.data.convert import combine_datasets
+from ugaitnet_tpu.data.pipeline import (
+    GaitPipeline, compute_normalization_stats)
+from ugaitnet_tpu.data.sampler import BalancedGaitSampler
+from ugaitnet_tpu.data.synthetic import make_synthetic_dataset
+from ugaitnet_tpu.models.network import UGaitNet
+from ugaitnet_tpu.train.train_step import (
+    Batch, PairBatch, init_state, make_optimizer, make_pair_train_step,
+    make_train_step)
+
+
+def _joint():
+    a = make_synthetic_dataset(num_subjects=3, seed=0, name="tum")
+    b = make_synthetic_dataset(num_subjects=2, seed=1, name="casia")
+    return a, b, combine_datasets(a, b)
+
+
+def test_norm_stats_standardize():
+    a, b, j = _joint()
+    stats_of = [compute_normalization_stats(j, "of", j.dataset_source == s)
+                for s in (0, 1)]
+    means = np.stack([s[0] for s in stats_of])
+    stds = np.stack([s[1] for s in stats_of])
+    assert means.shape == (2, 50)
+
+    pipe = GaitPipeline(j, DataConfig(batch_size=6, expand_level=1,
+                                      augment=False),
+                        ("of", "gray"), augment=False,
+                        norm_stats={"of": (means, stds),
+                                    "gray": (np.zeros((2, 25)),
+                                             np.ones((2, 25)))})
+    vols, _, _ = pipe.load(np.arange(len(j)), jax.random.PRNGKey(0))
+    of = np.asarray(vols[0])
+    # standardized over the whole joint set -> near zero mean, unit-ish std
+    assert abs(of.mean()) < 0.1
+    assert 0.5 < of.std() < 2.0
+
+
+def test_joint_training_semi_hard_focal():
+    _, _, j = _joint()
+    mcfg = ModelConfig(
+        branches=(BranchConfig(kind="gaitset", modality="of",
+                               gaitset_channels=(4, 4, 8), part_dim=8),
+                  BranchConfig(kind="gaitset", modality="gray",
+                               gaitset_channels=(4, 4, 8), part_dim=8)),
+        merge="max", nclasses=5)
+    tcfg = TrainConfig(triplet_kind="semi_hard", use_focal=True,
+                       loss_weights=(1.0, 0.1))
+    model = UGaitNet(mcfg)
+    tx = make_optimizer(tcfg)
+    state = init_state(model, tx, jax.random.PRNGKey(0))
+    step = make_train_step(model, tx, mcfg, tcfg)
+
+    pipe = GaitPipeline(j, DataConfig(batch_size=8, expand_level=2,
+                                      augment=False),
+                        ("of", "gray"), labmap=j.label_map(), augment=False)
+    sampler = BalancedGaitSampler(j.labels, j.gaits, batch_size=8,
+                                  repetition=2, seed=0)
+    # joint sampler must interleave both datasets' gait codes (0-2 and 3-5)
+    idx = sampler.next_batch()
+    gaits = j.gaits[idx]
+    assert gaits.min() < 3 or gaits.max() >= 3
+    vols, flags, labels = pipe.load(idx, jax.random.PRNGKey(0))
+    state, m = step(state, Batch(tuple(vols), tuple(flags), labels),
+                    jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_pair_verification_training():
+    ds = make_synthetic_dataset(num_subjects=4, seed=0)
+    mcfg = ModelConfig(
+        branches=(BranchConfig(kind="conv2d", modality="of",
+                               filters_numbers=(4, 4, 8, 8),
+                               ndense_units=16),
+                  BranchConfig(kind="conv2d", modality="gray",
+                               filters_numbers=(4, 4, 8, 8),
+                               ndense_units=16)),
+        merge="max", nclasses=0)
+    tcfg = TrainConfig(margin=0.5, lr=1e-3)
+    model = UGaitNet(mcfg)
+    tx = make_optimizer(tcfg)
+    state = init_state(model, tx, jax.random.PRNGKey(0))
+    step = make_pair_train_step(model, tx, mcfg, tcfg)
+
+    pipe = GaitPipeline(ds, DataConfig(batch_size=8, expand_level=1,
+                                       augment=False),
+                        ("of", "gray"), augment=False)
+    v1, f1, l1 = pipe.load(np.arange(8), jax.random.PRNGKey(0))
+    v2, f2, l2 = pipe.load(np.arange(8, 16), jax.random.PRNGKey(1))
+    pair_labels = (np.asarray(l1) == np.asarray(l2)).astype(np.int32)
+    pb = PairBatch(Batch(tuple(v1), tuple(f1), l1),
+                   Batch(tuple(v2), tuple(f2), l2),
+                   jnp.asarray(pair_labels))
+    losses = []
+    for i in range(3):
+        state, m = step(state, pb, jax.random.PRNGKey(i))
+        losses.append(float(m["pair_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

@@ -1,0 +1,85 @@
+"""net_utils (freeze/softlabel/filter export) + TFRecord interop reader."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from ugaitnet_tpu.core.config import BranchConfig, ModelConfig, TrainConfig
+from ugaitnet_tpu.models.network import UGaitNet, init_params
+from ugaitnet_tpu.train.train_step import make_optimizer
+from ugaitnet_tpu.utils.net_utils import (
+    freeze_branches_predicate, freeze_convs_predicate, frozen_optimizer,
+    save_filter_grid, save_sprite, soft_labels)
+
+
+def test_soft_labels_matches_reference_formula():
+    out = soft_labels([0, 2], nclasses=4, epsilon=0.1)
+    the_class = 1.0 - 0.1 * 3 / 4
+    np.testing.assert_allclose(out[0, 0], the_class)
+    np.testing.assert_allclose(out[0, 1], 0.025)
+    np.testing.assert_allclose(out[1, 2], the_class)
+
+
+def test_frozen_optimizer_zeroes_conv_updates():
+    mcfg = ModelConfig(branches=(BranchConfig(
+        kind="gaitset", modality="gray", gaitset_channels=(4, 4, 8),
+        part_dim=8),), nclasses=3)
+    model = UGaitNet(mcfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+    tx = frozen_optimizer(optax.sgd(0.1), params, freeze_convs_predicate)
+    opt_state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    conv_up = updates["params"]["branch_gray"]["a_conv1"]["kernel"]
+    head_up = updates["params"]["classprob"]["kernel"]
+    np.testing.assert_allclose(np.asarray(conv_up), 0.0)
+    assert np.abs(np.asarray(head_up)).max() > 0
+
+
+def test_freeze_branches_predicate():
+    assert freeze_branches_predicate("params/branch_of/a_conv1/kernel")
+    assert not freeze_branches_predicate("params/classprob/kernel")
+
+
+def test_filter_grid_and_sprite_export(tmp_path):
+    k = np.random.RandomState(0).randn(5, 5, 3, 16)
+    p = save_filter_grid(k, str(tmp_path / "filters.png"))
+    assert os.path.exists(p)
+    imgs = [np.random.RandomState(i).rand(60, 60) for i in range(9)]
+    p2 = save_sprite(imgs, str(tmp_path / "sprite.png"), max_size=512)
+    assert os.path.exists(p2)
+
+
+def test_tfrecord_reader_against_tensorflow(tmp_path):
+    """Golden interop: write a gait record with TF, read with our TF-free
+    parser (mj_tfdata format)."""
+    tf = pytest.importorskip("tensorflow")
+    from ugaitnet_tpu.data.tfrecord import load_gait_tfrecord
+
+    rng = np.random.RandomState(0)
+    vol = rng.randint(-3000, 3000, (1, 50, 60, 60)).astype(np.int16)
+
+    def i64(v):
+        return tf.train.Feature(int64_list=tf.train.Int64List(value=[v]))
+
+    ex = tf.train.Example(features=tf.train.Features(feature={
+        "height": i64(60), "width": i64(60), "depth": i64(50),
+        "data": tf.train.Feature(bytes_list=tf.train.BytesList(
+            value=[vol.tobytes()])),
+        "labels": i64(42), "set": i64(1), "videoId": i64(7),
+        "compressFactor": i64(100), "gait": i64(2),
+    }))
+    path = str(tmp_path / "sample.tfrecord")
+    with tf.io.TFRecordWriter(path) as w:
+        w.write(ex.SerializeToString())
+
+    data, label, vid = load_gait_tfrecord(path)
+    assert label == 42 and vid == 7
+    np.testing.assert_allclose(data, vol.astype(np.float32) / 100.0)
+
+    full = load_gait_tfrecord(path, all_info=True)
+    assert full["gait"] == [2] and full["compressFactor"] == [100]

@@ -44,7 +44,34 @@ def gather_host_batch(ds: GaitDataset, idx: np.ndarray,
     if labmap is not None:
         labels = np.asarray([labmap[int(l)] for l in labels], np.int32)
     out["labels"] = labels.astype(np.int32)
+    # joint-dataset source selector (BothDatasets regime, data/convert.py)
+    src = getattr(ds, "dataset_source", None)
+    out["source"] = (src[idx].astype(np.int32) if src is not None
+                     else np.zeros(len(idx), np.int32))
     return out
+
+
+def compute_normalization_stats(ds: GaitDataset, modality: str,
+                                source: Optional[np.ndarray] = None
+                                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-plane mean/std of the *normalized* volumes (the BothDatasets
+    per-dataset normalization h5s, mj_dataGeneratorMMUWYHBothDatasets.py:89-99).
+    Returns (mean (T*C,), std (T*C,))."""
+    store = ds.modalities[modality]
+    vols = np.asarray(store.volumes if source is None
+                      else store.volumes[source])
+    x = vols.astype(np.float64)
+    if store.compress_factor > 1:
+        x = x / store.compress_factor
+        if ds.ntype == 2:
+            x = x * 0.1
+    else:
+        x = x / 255.0
+        if modality != "silhouette":
+            x = x - 0.5
+    mean = x.mean(axis=(0, 2, 3))
+    std = x.std(axis=(0, 2, 3))
+    return mean.astype(np.float32), np.maximum(std, 1e-6).astype(np.float32)
 
 
 def _dropout_masks(key: jax.Array, batch: int, nmods: int, expand: int
@@ -98,13 +125,13 @@ def _expand_rows(x: jax.Array, expand: int) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("modalities", "channels", "compress_factors", "ntype",
-                     "expand", "augmenting", "cfg"))
+                     "expand", "augmenting", "cfg", "normalize"))
 def preprocess_batch(raw: Dict[str, jax.Array], key: jax.Array,
                      modalities: Tuple[str, ...],
                      channels: Tuple[int, ...],
                      compress_factors: Tuple[float, ...],
                      ntype: int, expand: int, augmenting: bool,
-                     cfg: DataConfig
+                     cfg: DataConfig, normalize: bool = False
                      ) -> Tuple[List[jax.Array], List[jax.Array], jax.Array]:
     """Device-side: dequant -> frames -> joint augment -> expand+dropout.
 
@@ -147,6 +174,12 @@ def preprocess_batch(raw: Dict[str, jax.Array], key: jax.Array,
             x = x / 255.0
             if m != "silhouette":
                 x = x - 0.5
+        if normalize:
+            # per-dataset per-plane standardization (BothDatasets,
+            # mj_dataGeneratorMMUWYHBothDatasets.py:300-316)
+            mean = raw[f"norm_mean_{m}"][raw["source"]]   # (B, T*C)
+            std = raw[f"norm_std_{m}"][raw["source"]]
+            x = (x - mean[:, :, None, None]) / std[:, :, None, None]
         x = planes_to_frames(x, channels[mi])          # (B, T, H, W, C)
         if augmenting:
             x = A.augment_batch(x, params[mi], is_of=(m == "of"))
@@ -174,7 +207,9 @@ class GaitPipeline:
                  modalities: Sequence[str],
                  labmap: Optional[Dict[int, int]] = None,
                  indices: Optional[np.ndarray] = None,
-                 augment: Optional[bool] = None):
+                 augment: Optional[bool] = None,
+                 norm_stats: Optional[Dict[str, Tuple[np.ndarray,
+                                                      np.ndarray]]] = None):
         self.ds = ds
         self.cfg = cfg
         self.modalities = tuple(modalities)
@@ -185,15 +220,22 @@ class GaitPipeline:
         self.compress_factors = tuple(
             float(ds.modalities[m].compress_factor) for m in modalities)
         self.augmenting = cfg.augment if augment is None else augment
+        # norm_stats[m] = (means (S, T*C), stds (S, T*C)) per dataset source
+        self.norm_stats = norm_stats
 
     def load(self, batch_idx: np.ndarray, key: jax.Array,
              expand: Optional[int] = None):
         """batch_idx indexes into this pipeline's view (self.indices)."""
         raw = gather_host_batch(self.ds, self.indices[batch_idx],
                                 self.modalities, self.labmap)
+        if self.norm_stats is not None:
+            for m in self.modalities:
+                mean, std = self.norm_stats[m]
+                raw[f"norm_mean_{m}"] = np.atleast_2d(mean).astype(np.float32)
+                raw[f"norm_std_{m}"] = np.atleast_2d(std).astype(np.float32)
         raw_dev = {k: jnp.asarray(v) for k, v in raw.items()}
         e = self.cfg.expand_level if expand is None else expand
         return preprocess_batch(
             raw_dev, key, self.modalities, self.channels,
             self.compress_factors, self.ds.ntype, e, self.augmenting,
-            self.cfg)
+            self.cfg, normalize=self.norm_stats is not None)

@@ -159,6 +159,47 @@ def make_train_step(model: UGaitNet, tx: optax.GradientTransformation,
     return jax.jit(step, donate_argnums=(0,))
 
 
+class PairBatch(NamedTuple):
+    """Two aligned sample tuples + same/different labels (1=same subject)."""
+    batch1: Batch
+    batch2: Batch
+    pair_labels: jax.Array
+
+
+def make_pair_train_step(model: UGaitNet, tx: optax.GradientTransformation,
+                         mcfg: ModelConfig, tcfg: TrainConfig):
+    """Siamese verification training (UWYHNet.build parity,
+    /root/reference/nets/mj_uwyhNets_ba.py:154-245): both tuples run through
+    the SAME branch weights; the margin contrastive VerifLossLayer drives the
+    L2-normalized fused embeddings together/apart."""
+    from ugaitnet_tpu.ops.losses import verif_pair_loss
+
+    def embed(params, batch: Batch, key, train):
+        out = model.apply(params, list(batch.volumes), list(batch.use_flags),
+                          train=train, rngs={"dropout": key} if train else None)
+        sig = out["signature"]
+        return sig.reshape(sig.shape[0], -1)
+
+    def step(state: TrainState, pair: PairBatch, key: jax.Array):
+        k1, k2 = jax.random.split(jax.random.fold_in(key, state.step))
+
+        def loss_fn(params):
+            e1 = embed(params, pair.batch1, k1, True)
+            e2 = embed(params, pair.batch2, k2, True)
+            loss = verif_pair_loss(e1, e2, pair.pair_labels,
+                                   margin=tcfg.margin)
+            return loss, {"pair_loss": loss}
+
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
 def make_eval_step(model: UGaitNet, mcfg: ModelConfig, tcfg: TrainConfig):
     def step(params, batch: Batch):
         _, metrics = compute_losses(model, params, batch,
