@@ -1,0 +1,214 @@
+"""Pallas TPU kernel for the batch-all triplet loss.
+
+The XLA formulation (ops/triplet.py) materializes a (chunk, B, B, B) triplet
+tensor in HBM per part-chunk; this kernel keeps everything in VMEM: one grid
+program per part computes the pairwise-distance matrix with an MXU matmul
+and reduces the masked triplet hinge on the fly (fori over anchors), writing
+back only a per-part (sum, count) pair — O(P*B*D) HBM traffic instead of
+O(P*B^3).
+
+Backward is a second kernel with the analytic gradient:
+  t[i,j,k] = margin + d[i,j] - d[i,k],  active = valid & t > 0
+  dL/dd[i,m] = #active(i, j=m, ·) - #active(i, ·, k=m)      (per part, scaled
+               by upstream/count_p/P)
+  dL/dx = (diag(rowsum W) - W) @ x with W[i,j] = (g[i,j]+g[j,i])/d[i,j]
+
+Both kernels mask padded batch rows (labels are padded with -1), so any
+batch size works; shapes are padded to the fp32 (8, 128) tile internally.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _dist_and_masks(emb, labels, bp):
+    """Shared: guarded pairwise distances + validity masks in VMEM."""
+    x = emb.astype(jnp.float32)
+    sq = jnp.sum(x * x, axis=1)
+    dot = jnp.dot(x, x.T, preferred_element_type=jnp.float32)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * dot
+    d2 = jnp.maximum(d2, 0.0)
+    zero = d2 <= 0.0
+    dist = jnp.where(zero, 0.0, jnp.sqrt(d2 + jnp.where(zero, 1e-16, 0.0)))
+
+    # masks as float32 throughout — mosaic only supports minor-dim
+    # broadcasts on 32-bit types, so no bool[:, None] anywhere.
+    lab2 = labels.reshape(bp, 1).astype(jnp.int32)
+    labr = labels.reshape(1, bp).astype(jnp.int32)
+    validf = ((lab2 >= 0) & (labr >= 0)).astype(jnp.float32)
+    eq = (lab2 == labr).astype(jnp.float32)
+    same = eq * validf
+    diff = (1.0 - eq) * validf
+    return dist, same, diff
+
+
+def _fwd_kernel(margin_ref, labels_ref, emb_ref, out_ref):
+    bp = emb_ref.shape[0]
+    margin = margin_ref[0]
+    dist, same, diff = _dist_and_masks(emb_ref[...], labels_ref[...], bp)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (bp, bp), 0)
+
+    def _row(mat, i):
+        # mosaic has no dynamic_slice on values: masked-reduce row i instead
+        return jnp.sum(jnp.where(row_ids == i, mat, 0.0), axis=0)
+
+    def body(i, carry):
+        s, c = carry
+        d_i = _row(dist, i)                                      # (B,)
+        pos = _row(same, i)                                      # float 0/1
+        neg = _row(diff, i)
+        # t[j, k] = margin + d[i, j] - d[i, k]
+        t = margin + d_i.reshape(bp, 1) - d_i.reshape(1, bp)
+        actf = (pos.reshape(bp, 1) * neg.reshape(1, bp)
+                * (t > 0.0).astype(jnp.float32))
+        return s + jnp.sum(t * actf), c + jnp.sum(actf)
+
+    s, c = jax.lax.fori_loop(0, bp, body,
+                             (jnp.float32(0.0), jnp.float32(0.0)))
+    # (8, 128) output tile per part: row 0 lane 0 = sum, row 1 lane 0 = count
+    # (TPU blocked outputs must fill a full (8, 128) fp32 tile).
+    rows = jnp.concatenate([jnp.full((1, 128), s, jnp.float32),
+                            jnp.full((1, 128), c, jnp.float32),
+                            jnp.zeros((6, 128), jnp.float32)], axis=0)
+    out_ref[...] = rows
+
+
+def _bwd_kernel(margin_ref, scale_ref, labels_ref, emb_ref, grad_ref):
+    bp = emb_ref.shape[0]
+    margin = margin_ref[0]
+    scale = scale_ref[pl.program_id(0)]   # upstream/(count_p*P), 0 if cnt==0
+    x = emb_ref[...].astype(jnp.float32)
+    dist, same, diff = _dist_and_masks(x, labels_ref[...], bp)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (bp, bp), 0)
+
+    def _row(mat, i):
+        return jnp.sum(jnp.where(row_ids == i, mat, 0.0), axis=0)
+
+    def body(i, g_dist):
+        d_i = _row(dist, i)
+        pos = _row(same, i)
+        neg = _row(diff, i)
+        t = margin + d_i.reshape(bp, 1) - d_i.reshape(1, bp)
+        act = (pos.reshape(bp, 1) * neg.reshape(1, bp)
+               * (t > 0.0).astype(jnp.float32))
+        g_row = (jnp.sum(act, axis=1) - jnp.sum(act, axis=0)).reshape(1, bp)
+        return g_dist + jnp.where(row_ids == i, g_row, 0.0)
+
+    g_dist = jax.lax.fori_loop(
+        0, bp, body, jnp.zeros((bp, bp), jnp.float32)) * scale
+
+    inv_d = jnp.where(dist > 0.0, 1.0 / jnp.where(dist > 0.0, dist, 1.0),
+                      0.0)
+    w = (g_dist + g_dist.T) * inv_d
+    row = jnp.sum(w, axis=1, keepdims=True)
+    grad_ref[...] = row * x - jnp.dot(w, x,
+                                      preferred_element_type=jnp.float32)
+
+
+def _pad(emb_pbd, labels, bp, dp):
+    p, b, d = emb_pbd.shape
+    emb = jnp.zeros((p, bp, dp), jnp.float32).at[:, :b, :d].set(
+        emb_pbd.astype(jnp.float32))
+    lab = jnp.full((bp,), -1, jnp.int32).at[:b].set(
+        labels.reshape(-1).astype(jnp.int32))
+    return emb, lab
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _triplet_pallas(emb_pbd, labels, margin: float, interpret: bool):
+    per_sum, per_cnt = _triplet_fwd_call(emb_pbd, labels, margin, interpret)
+    return _combine(per_sum, per_cnt)
+
+
+def _combine(per_sum, per_cnt):
+    per_part = jnp.where(per_cnt > 0, per_sum / jnp.maximum(per_cnt, 1.0),
+                         0.0)
+    return jnp.mean(per_part)
+
+
+def _triplet_fwd_call(emb_pbd, labels, margin, interpret):
+    p, b, d = emb_pbd.shape
+    bp, dp = _round_up(b, 8), _round_up(d, 128)
+    emb, lab = _pad(emb_pbd, labels, bp, dp)
+    out_shape = jax.ShapeDtypeStruct((p, 8, 128), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # margin (1,)
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # labels (Bp,)
+            pl.BlockSpec((None, bp, dp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),            # emb part
+        ],
+        out_specs=pl.BlockSpec((None, 8, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _fwd_kernel, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=interpret,
+    )(jnp.asarray([margin], jnp.float32), lab, emb)
+    return out[:, 0, 0], out[:, 1, 0]
+
+
+def _triplet_vjp_fwd(emb_pbd, labels, margin, interpret):
+    per_sum, per_cnt = _triplet_fwd_call(emb_pbd, labels, margin, interpret)
+    return _combine(per_sum, per_cnt), (emb_pbd, labels, per_cnt)
+
+
+def _triplet_vjp_bwd(margin, interpret, res, g):
+    emb_pbd, labels, per_cnt = res
+    p, b, d = emb_pbd.shape
+    bp, dp = _round_up(b, 8), _round_up(d, 128)
+    emb, lab = _pad(emb_pbd, labels, bp, dp)
+    scale = jnp.where(per_cnt > 0, g / (jnp.maximum(per_cnt, 1.0) * p), 0.0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # margin
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # scale (P,)
+            pl.BlockSpec(memory_space=pltpu.VMEM),             # labels
+            pl.BlockSpec((None, bp, dp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, bp, dp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    grad = pl.pallas_call(
+        _bwd_kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((p, bp, dp), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray([margin], jnp.float32), scale.astype(jnp.float32), lab,
+      emb)
+    return grad[:, :b, :d].astype(emb_pbd.dtype), None
+
+
+_triplet_pallas.defvjp(_triplet_vjp_fwd, _triplet_vjp_bwd)
+
+
+def batch_all_triplet_loss_pallas(embeddings: jax.Array, labels: jax.Array,
+                                  margin: float = 0.2,
+                                  interpret: bool = False) -> jax.Array:
+    """Drop-in replacement for ops.triplet.batch_all_triplet_loss.
+
+    embeddings: (B, D) or batch-major (B, P, D); labels (B,).
+    interpret=True runs the kernels in the Pallas interpreter (CPU tests).
+    """
+    if embeddings.ndim == 2:
+        emb = embeddings[None]
+    else:
+        emb = jnp.transpose(embeddings, (1, 0, 2))
+    return _triplet_pallas(emb, labels, float(margin), interpret)

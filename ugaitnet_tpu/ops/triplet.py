@@ -175,6 +175,10 @@ def contrastive_aux_loss(embeddings: jax.Array, labels: jax.Array) -> jax.Array:
 def make_triplet_loss(kind: str = "batch_all", margin: float = 0.2):
     if kind == "batch_all":
         return functools.partial(batch_all_triplet_loss, margin=margin)
+    if kind == "batch_all_pallas":
+        from ugaitnet_tpu.ops.pallas.triplet_kernel import (
+            batch_all_triplet_loss_pallas)
+        return functools.partial(batch_all_triplet_loss_pallas, margin=margin)
     if kind == "semi_hard":
         return functools.partial(semi_hard_triplet_loss, margin=margin)
     if kind == "hard":
