@@ -1,0 +1,42 @@
+"""Native gather engine: correctness vs numpy, fallback behavior."""
+
+import numpy as np
+import pytest
+
+from ugaitnet_tpu.data.native import gather_rows, native_available
+
+
+def test_gather_matches_numpy():
+    rng = np.random.RandomState(0)
+    src = rng.randint(-3000, 3000, (200, 50, 60, 60)).astype(np.int16)
+    idx = rng.randint(0, 200, 64).astype(np.int64)
+    out = gather_rows(src, idx)
+    np.testing.assert_array_equal(out, src[idx])
+
+
+def test_gather_uint8_and_memmap(tmp_path):
+    rng = np.random.RandomState(1)
+    arr = rng.randint(0, 255, (100, 25, 60, 60)).astype(np.uint8)
+    path = tmp_path / "vols.npy"
+    np.save(path, arr)
+    mm = np.load(path, mmap_mode="r")
+    idx = rng.randint(0, 100, 32).astype(np.int64)
+    out = gather_rows(mm, idx)
+    np.testing.assert_array_equal(out, arr[idx])
+
+
+def test_gather_repeated_and_empty():
+    src = np.arange(10 * 4, dtype=np.int16).reshape(10, 4)
+    out = gather_rows(src, np.array([3, 3, 3], dtype=np.int64))
+    np.testing.assert_array_equal(out, src[[3, 3, 3]])
+    out = gather_rows(src, np.array([], dtype=np.int64))
+    assert out.shape == (0, 4)
+
+
+def test_fallback_without_native(monkeypatch):
+    import ugaitnet_tpu.data.native as native
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", True)
+    src = np.arange(20, dtype=np.float32).reshape(5, 4)
+    out = native.gather_rows(src, np.array([4, 0], dtype=np.int64))
+    np.testing.assert_array_equal(out, src[[4, 0]])

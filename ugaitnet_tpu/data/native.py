@@ -1,0 +1,87 @@
+"""ctypes binding for the native batch-gather engine (native/gaitloader.cpp).
+
+Auto-builds the shared library on first use if a toolchain is present,
+falls back to numpy fancy indexing otherwise — every caller works either
+way; the native path is just faster (multithreaded row memcpy that releases
+the GIL).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libgaitloader.so")
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.exists(_SO_PATH)
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("UGAITNET_NO_NATIVE"):
+        return None
+    if not os.path.exists(_SO_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.ug_gather_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int]
+        lib.ug_gather_rows.restype = None
+        lib.ug_version.restype = ctypes.c_int
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def gather_rows(src: np.ndarray, idx: np.ndarray,
+                out: Optional[np.ndarray] = None,
+                nthreads: int = 0) -> np.ndarray:
+    """out[i] = src[idx[i]] for a C-contiguous (or memory-mapped) 2D+ array.
+
+    Uses the native thread pool when available, numpy otherwise.
+    """
+    idx = np.ascontiguousarray(np.asarray(idx, dtype=np.int64))
+    n = len(idx)
+    row_shape = src.shape[1:]
+    if out is None:
+        out = np.empty((n, *row_shape), dtype=src.dtype)
+    lib = get_lib()
+    row_bytes = int(np.prod(row_shape)) * src.dtype.itemsize
+    # memmaps expose their buffer; plain arrays must be C-contiguous
+    c_ok = getattr(src, "flags", None) is not None and src.flags["C_CONTIGUOUS"]
+    if lib is None or not c_ok:
+        np.take(src, idx, axis=0, out=out)
+        return out
+    src_ptr = src.ctypes.data_as(ctypes.c_void_p)
+    out_ptr = out.ctypes.data_as(ctypes.c_void_p)
+    lib.ug_gather_rows(src_ptr, row_bytes,
+                       idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                       n, out_ptr, nthreads)
+    return out

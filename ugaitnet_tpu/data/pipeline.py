@@ -35,10 +35,11 @@ class HostBatch(dict):
 def gather_host_batch(ds: GaitDataset, idx: np.ndarray,
                       modalities: Sequence[str],
                       labmap: Optional[Dict[int, int]] = None) -> HostBatch:
+    from ugaitnet_tpu.data.native import gather_rows
     out = HostBatch()
     for m in modalities:
         store = ds.modalities[m]
-        out[f"raw_{m}"] = np.ascontiguousarray(store.volumes[idx])
+        out[f"raw_{m}"] = gather_rows(store.volumes, idx)
         out[f"present_{m}"] = store.present[idx].astype(np.float32)
     labels = ds.labels[idx]
     if labmap is not None:
