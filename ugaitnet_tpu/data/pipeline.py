@@ -201,6 +201,53 @@ def preprocess_batch(raw: Dict[str, jax.Array], key: jax.Array,
     return out_vols, out_flags, labels
 
 
+class PrefetchLoader:
+    """Async host pipeline: gathers/stages the next batches on a background
+    thread while the device is busy.
+
+    The reference left Keras' workers/use_multiprocessing commented out and
+    ran its generator synchronously (/root/reference/nets/mj_uwyhNets_ba.py:
+    270-271,965-966; SURVEY.md §2.5); here overlap is first-class. The
+    native gather (data/native.py) releases the GIL, so the producer thread
+    truly runs in parallel with jit dispatch.
+    """
+
+    def __init__(self, pipe: "GaitPipeline", sampler, key: "jax.Array",
+                 depth: int = 2, expand: Optional[int] = None):
+        import queue
+        import threading
+        self.pipe = pipe
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = False
+        self._n = len(sampler)
+
+        def producer():
+            k = key
+            for i, idx in enumerate(sampler.epoch()):
+                if self._stop:
+                    return
+                k = jax.random.fold_in(key, i)
+                batch = pipe.load(idx, k, expand=expand)
+                self._q.put(batch)
+            self._q.put(None)
+
+        self._t = threading.Thread(target=producer, daemon=True)
+        self._t.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            yield item
+
+    def __len__(self):
+        return self._n
+
+    def close(self):
+        self._stop = True
+
+
 class GaitPipeline:
     """Convenience wrapper: sampler indices -> device-ready batches."""
 
