@@ -1,0 +1,135 @@
+"""Production serving: device-resident gallery identification service.
+
+The reference's eval pipeline re-embeds galleries into host numpy and runs
+sklearn kNN per query batch (mains/mj_testUWYHGaitNet_open_casiab.py:380-424).
+For deployment this module keeps everything on device: the gallery code
+matrix lives in HBM, and one jitted call takes raw quantized clip volumes ->
+dequantize -> embed -> distance matmul on the MXU -> top-k vote, returning
+dense labels + neighbor distances. Query batches are padded to fixed bucket
+sizes so steady-state serving never recompiles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ugaitnet_tpu.core.config import DataConfig, MODALITY_CHANNELS, ModelConfig
+from ugaitnet_tpu.data.pipeline import preprocess_batch
+from ugaitnet_tpu.data.schema import GaitDataset
+from ugaitnet_tpu.eval.encode import _tap
+from ugaitnet_tpu.models.network import UGaitNet
+
+
+class SignatureService:
+    """Encode + identify against an in-HBM gallery.
+
+    Usage:
+        svc = SignatureService(model, params, ("of", "gray"))
+        svc.set_gallery(codes, labels)          # or build_gallery(dataset)
+        labels, dists = svc.identify_raw({"raw_of": ..., "raw_gray": ...})
+    """
+
+    def __init__(self, model: UGaitNet, params,
+                 modalities: Sequence[str], typecode: int = 3,
+                 knn: int = 3, ntype: int = 2,
+                 compress_factors: Optional[Sequence[float]] = None,
+                 buckets: Sequence[int] = (1, 8, 32, 128)):
+        # The reference-parity signature normalizes rank-3 signatures over
+        # the BATCH axis (ModelConfig.l2_mode="reference",
+        # /root/reference/nets/mj_uwyhNets_ba.py:817) — codes then depend on
+        # batch composition, which is unacceptable for serving. Force the
+        # deterministic per-sample normalization here (parameter-free, so
+        # trained weights are unaffected); the gallery is built by this same
+        # service, so gallery and probe codes stay consistent.
+        if model.config.l2_mode != "feature":
+            import dataclasses
+            model = UGaitNet(dataclasses.replace(model.config,
+                                                 l2_mode="feature"))
+        self.model = model
+        self.params = params
+        self.modalities = tuple(modalities)
+        self.typecode = typecode
+        self.knn = knn
+        self.ntype = ntype
+        self.channels = tuple(MODALITY_CHANNELS[m] for m in modalities)
+        self.compress_factors = tuple(
+            compress_factors if compress_factors is not None
+            else [100.0 if m == "of" else 1.0 for m in modalities])
+        self.buckets = tuple(sorted(buckets))
+        self._dcfg = DataConfig()
+        self._gallery_codes: Optional[jax.Array] = None
+        self._gallery_dense: Optional[jax.Array] = None
+        self._ulabels: Optional[np.ndarray] = None
+
+        @functools.partial(jax.jit, static_argnames=("n_classes", "k"))
+        def _identify(params, raw, gallery, gallery_dense, n_classes, k):
+            vols, flags, _ = preprocess_batch(
+                raw, jax.random.PRNGKey(0), self.modalities, self.channels,
+                self.compress_factors, self.ntype, 1, False, self._dcfg)
+            out = self.model.apply(params, vols, flags, train=False)
+            codes = _tap(out, self.typecode)
+            p2 = jnp.sum(jnp.square(codes), axis=1, keepdims=True)
+            g2 = jnp.sum(jnp.square(gallery), axis=1)
+            d2 = jnp.maximum(
+                p2 + g2[None, :]
+                - 2.0 * jnp.matmul(codes, gallery.T,
+                                   preferred_element_type=jnp.float32), 0.0)
+            neg, idx = jax.lax.top_k(-d2, k)
+            votes = jax.nn.one_hot(gallery_dense[idx], n_classes,
+                                   dtype=jnp.float32)
+            pred = jnp.argmax(jnp.sum(votes, axis=1), axis=1)
+            return pred, jnp.sqrt(-neg)
+
+        self._identify = _identify
+
+    # ------------------------------------------------------------------
+    def set_gallery(self, codes: np.ndarray, labels: np.ndarray) -> None:
+        self._ulabels, dense = np.unique(np.asarray(labels),
+                                         return_inverse=True)
+        self._gallery_codes = jnp.asarray(codes, jnp.float32)
+        self._gallery_dense = jnp.asarray(dense.astype(np.int32))
+
+    def build_gallery(self, ds: GaitDataset, batch_size: int = 128) -> None:
+        from ugaitnet_tpu.eval.encode import encode_dataset
+        codes, labels, _, _ = encode_dataset(
+            self.model, self.params, ds, self.modalities,
+            typecode=self.typecode, batch_size=batch_size)
+        self.set_gallery(codes, labels)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return int(np.ceil(n / self.buckets[-1]) * self.buckets[-1])
+
+    def identify_raw(self, raw: Dict[str, np.ndarray]
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        """raw: {"raw_<mod>": (N, T*C, H, W) quantized volumes,
+                 optional "present_<mod>": (N,)}. Returns (labels, (N, k)
+        neighbor distances)."""
+        if self._gallery_codes is None:
+            raise RuntimeError("no gallery set")
+        n = next(iter(raw.values())).shape[0]
+        nb = self._bucket(n)
+        padded = {}
+        for m in self.modalities:
+            v = np.asarray(raw[f"raw_{m}"])
+            pad = np.zeros((nb - n, *v.shape[1:]), v.dtype)
+            padded[f"raw_{m}"] = jnp.asarray(np.concatenate([v, pad]))
+            pres = np.asarray(raw.get(f"present_{m}",
+                                      np.ones(n, np.float32)))
+            padded[f"present_{m}"] = jnp.asarray(
+                np.concatenate([pres, np.zeros(nb - n, np.float32)]))
+        padded["labels"] = jnp.zeros((nb,), jnp.int32)
+        padded["source"] = jnp.zeros((nb,), jnp.int32)
+        k = min(self.knn, int(self._gallery_codes.shape[0]))
+        pred, dists = self._identify(self.params, padded,
+                                     self._gallery_codes,
+                                     self._gallery_dense,
+                                     len(self._ulabels), k)
+        return self._ulabels[np.asarray(pred[:n])], np.asarray(dists[:n])
