@@ -28,6 +28,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("ugaitnet-train")
     p.add_argument("--datadir", type=str, default="",
                    help="packed GaitDataset directory (data/schema.py)")
+    p.add_argument("--datadir2", type=str, default="",
+                   help="second packed dataset for joint (BothDatasets) "
+                        "training: labels +305, gaits +3")
+    p.add_argument("--normstats", action="store_true",
+                   help="per-dataset plane-wise mean/std standardization "
+                        "(BothDatasets normalize_paths equivalent)")
     p.add_argument("--synthetic", action="store_true",
                    help="train on the synthetic in-memory dataset")
     p.add_argument("--experdir", type=str, default="./experiments")
@@ -127,6 +133,9 @@ def main(argv=None):
         if not args.datadir:
             raise SystemExit("--datadir or --synthetic required")
         ds = GaitDataset.load(args.datadir)
+        if args.datadir2:
+            from ugaitnet_tpu.data.convert import combine_datasets
+            ds = combine_datasets(ds, GaitDataset.load(args.datadir2))
 
     experdir = os.path.join(
         args.experdir, experiment_name(mcfg, dcfg, tcfg, args.experfix))
@@ -137,8 +146,22 @@ def main(argv=None):
         from ugaitnet_tpu.parallel.sharding import make_mesh
         mesh = make_mesh(args.ndevices)
 
+    norm_stats = None
+    if args.normstats:
+        import numpy as np
+        from ugaitnet_tpu.data.pipeline import compute_normalization_stats
+        src = getattr(ds, "dataset_source", None)
+        sources = ((src == 0, src == 1) if src is not None else (None,))
+        norm_stats = {}
+        for b in mcfg.branches:
+            stats = [compute_normalization_stats(ds, b.modality, sel)
+                     for sel in sources]
+            norm_stats[b.modality] = (np.stack([s[0] for s in stats]),
+                                      np.stack([s[1] for s in stats]))
+
     trainer = Trainer(mcfg, dcfg, tcfg, experdir,
-                      use_tensorboard=args.tensorboard, mesh=mesh)
+                      use_tensorboard=args.tensorboard, mesh=mesh,
+                      norm_stats=norm_stats)
     trainer.fit(ds, val_perc=args.valperc, seed=args.seed)
     print("* training done", flush=True)
 

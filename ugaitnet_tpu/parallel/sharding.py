@@ -79,3 +79,15 @@ def make_sharded_train_step(model, tx, mcfg, tcfg, mesh: Mesh):
     # so donation reuses its buffers across steps.
     return jax.jit(step, donate_argnums=(0,),
                    out_shardings=(rep, rep))
+
+
+def shard_batch_multihost(batch: Any, mesh: Mesh) -> Any:
+    """Multi-host pods: every process passes its *local* shard of the global
+    batch (the DCN data-sharding path, SURVEY.md §5.8); jax assembles the
+    global array across hosts. On a single host this equals shard_batch."""
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh)
+    sh = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch)

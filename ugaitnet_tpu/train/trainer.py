@@ -58,7 +58,8 @@ def experiment_name(mcfg: ModelConfig, dcfg: DataConfig, tcfg: TrainConfig,
 class Trainer:
     def __init__(self, mcfg: ModelConfig, dcfg: DataConfig, tcfg: TrainConfig,
                  experdir: str, use_tensorboard: bool = False,
-                 mesh=None):
+                 mesh=None, norm_stats=None):
+        self.norm_stats = norm_stats
         self.mcfg, self.dcfg, self.tcfg = mcfg, dcfg, tcfg
         self.experdir = experdir
         os.makedirs(experdir, exist_ok=True)
@@ -93,20 +94,20 @@ class Trainer:
     def _epoch(self, state: TrainState, pipe: GaitPipeline,
                sampler: BalancedGaitSampler, epoch: int, seed: int
                ) -> Tuple[TrainState, Dict[str, float]]:
+        from ugaitnet_tpu.data.pipeline import PrefetchLoader
         agg: Dict[str, float] = {}
         nsteps = max(len(sampler), 1)
-        for bix in range(nsteps):
-            idx = sampler.next_batch()
-            key = jax.random.PRNGKey(hash((seed, epoch, bix)) % (2 ** 31))
-            vols, flags, labels = pipe.load(idx, key)
+        key0 = jax.random.PRNGKey(hash((seed, epoch)) % (2 ** 31))
+        loader = PrefetchLoader(pipe, sampler, key0)
+        for bix, (vols, flags, labels) in enumerate(loader):
             batch = Batch(tuple(vols), tuple(flags), labels)
             if self.mesh is not None:
                 from ugaitnet_tpu.parallel.sharding import shard_batch
                 batch = shard_batch(batch, self.mesh)
-            state, metrics = self.step_fn(state, batch, key)
+            state, metrics = self.step_fn(state, batch,
+                                          jax.random.fold_in(key0, bix))
             for k, v in metrics.items():
                 agg[k] = agg.get(k, 0.0) + float(v)
-        sampler.on_epoch_end()
         return state, {k: v / nsteps for k, v in agg.items()}
 
     def _validate(self, state: TrainState, ds: GaitDataset,
@@ -124,7 +125,7 @@ class Trainer:
                                                    perc=val_perc, seed=seed)
         labmap = ds.label_map()
         pipe = GaitPipeline(ds, dcfg, self.modalities, labmap=labmap,
-                            indices=tr_idx)
+                            indices=tr_idx, norm_stats=self.norm_stats)
         sampler = BalancedGaitSampler(ds.labels[tr_idx], ds.gaits[tr_idx],
                                       dcfg.batch_size, dcfg.repetitions,
                                       seed=seed)
@@ -162,7 +163,8 @@ class Trainer:
                 new_lr = min(10 ** math.ceil(math.log10(last_lr)), last_lr)
             state = set_lr(state, new_lr)
             full_pipe = GaitPipeline(ds, dcfg, self.modalities,
-                                     labmap=labmap)
+                                     labmap=labmap,
+                                     norm_stats=self.norm_stats)
             full_sampler = BalancedGaitSampler(ds.labels, ds.gaits,
                                                dcfg.batch_size,
                                                dcfg.repetitions, seed=seed)
