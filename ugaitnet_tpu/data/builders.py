@@ -146,8 +146,14 @@ def build_dataset(videos: Iterable[TrackedVideo],
                   n_frames: int = NUM_FRAMES,
                   step: int = 5,
                   compress_factor: Optional[float] = None,
-                  ntype: int = 2) -> GaitDataset:
-    """Build a single-modality packed dataset from tracked videos."""
+                  ntype: int = 2,
+                  val_perc: float = 0.0,
+                  seed: int = 0) -> GaitDataset:
+    """Build a single-modality packed dataset from tracked videos.
+
+    val_perc > 0 assigns a stratified per-subject fraction of windows to the
+    validation set (set_id 2), like the builders' `set` column
+    (generateOFData.py:190-231)."""
     if compress_factor is None:
         compress_factor = 100.0 if modality == "of" else 1.0
     vols, labels, vids, gaits, cams = [], [], [], [], []
@@ -169,13 +175,22 @@ def build_dataset(videos: Iterable[TrackedVideo],
                         np.int16 if modality == "of" else np.uint8))
     store = ModalityStore(modality=modality, volumes=volumes,
                           compress_factor=compress_factor)
+    set_ids = np.ones(n, np.int32)
+    if val_perc > 0 and n:
+        rng = np.random.RandomState(seed)
+        labels_arr = np.asarray(labels)
+        for lab in np.unique(labels_arr):
+            idx = np.where(labels_arr == lab)[0]
+            rng.shuffle(idx)
+            nval = int(val_perc * len(idx))
+            set_ids[idx[:nval]] = 2
     return GaitDataset(
         name=name, modalities={modality: store},
         labels=np.asarray(labels, np.int32),
         video_ids=np.asarray(vids, np.int32),
         gaits=np.asarray(gaits, np.int32),
         cams=np.asarray(cams, np.int32),
-        set_ids=np.ones(n, np.int32), ntype=ntype)
+        set_ids=set_ids, ntype=ntype)
 
 
 def merge_modalities(datasets: Sequence[GaitDataset], name: str

@@ -48,6 +48,12 @@ class ModalityStore:
     def channels(self) -> int:
         return MODALITY_CHANNELS[self.modality]
 
+    def mean_volume(self) -> np.ndarray:
+        """Mean raw volume over the store (the builders' accumulated
+        `meanSample`, /root/reference/data/generateOFData.py:84,144,190+),
+        in raw quantized units."""
+        return np.asarray(self.volumes, dtype=np.float64).mean(axis=0)
+
 
 @dataclass
 class GaitDataset:
