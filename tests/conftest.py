@@ -16,6 +16,7 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
 
 import jax  # noqa: E402
 
