@@ -141,3 +141,129 @@ def test_flagship_signature_parity(reference_model):
     # O(1) normalized values, so 1e-3 abs tolerance is ~1e-3 relative.
     np.testing.assert_allclose(sig_mine, sig_ref, atol=1.5e-3)
     np.testing.assert_allclose(prob_mine, prob_ref, atol=1e-4)
+
+
+def test_batch_all_triplet_loss_parity():
+    """Run the reference's actual triplet_loss (pure TF) on a balanced batch
+    vs our implementation (/root/reference/nets/triplet_loss_all.py:8-67)."""
+    os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
+    tf = pytest.importorskip("tensorflow")
+    _stub_tfa()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from nets.triplet_loss_all import triplet_loss as ref_triplet
+
+    import jax.numpy as jnp
+    from ugaitnet_tpu.ops.triplet import batch_all_triplet_loss
+
+    rng = np.random.RandomState(0)
+    p, b, d = 62, 24, 16
+    emb = rng.randn(p, b, d).astype(np.float32)
+    labels = np.repeat(np.arange(6), 4).astype(np.float32)   # balanced
+
+    # reference signature: y_true (B, 1) labels broadcast; y_pred (P, B, D)
+    ref_val = float(ref_triplet(margin=0.2)(
+        tf.convert_to_tensor(labels.reshape(b, 1)),
+        tf.convert_to_tensor(emb)))
+    ours = float(batch_all_triplet_loss(
+        jnp.asarray(np.transpose(emb, (1, 0, 2))),
+        jnp.asarray(labels.astype(np.int32)), margin=0.2))
+    np.testing.assert_allclose(ours, ref_val, rtol=1e-5)
+
+
+def test_conv2d_branch_parity():
+    """Transplant the reference's 2D LeakyReLU branch (channels_first) into
+    Conv2DBranch (NHWC): kernels copy directly (HWIO both), the first Dense
+    needs its rows permuted from (C,H,W)-flatten order to (H,W,C)."""
+    os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
+    tf = pytest.importorskip("tensorflow")
+    _stub_tfa()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from nets.mj_uwyhNets_ba import UWYHNet
+
+    import jax
+    import jax.numpy as jnp
+    from ugaitnet_tpu.models.branches import Conv2DBranch
+
+    ref = UWYHNet.buildBranchLReLU(
+        "ofBranch", input_shape=(50, 60, 60), number_convolutional_layers=4,
+        filters_size=[7, 5, 3, 2], filters_numbers=[16, 16, 32, 32],
+        ndense_units=64, weight_decay=1e-4, dropout=0.4, init_branch="",
+        alpha=0.3)
+    rng = np.random.RandomState(1)
+    for l in ref.layers:
+        if l.get_weights():
+            l.set_weights([rng.randn(*w.shape).astype(np.float32) * 0.05
+                           for w in l.get_weights()])
+
+    x_cf = rng.randn(2, 50, 60, 60).astype(np.float32) * 0.3  # channels_first
+    ref_out = ref.predict(x_cf, verbose=0)
+
+    mine = Conv2DBranch(filters_numbers=(16, 16, 32, 32),
+                        filters_size=(7, 5, 3, 2), ndense_units=64,
+                        activation="leaky", leaky_alpha=0.3)
+    x_nhwc = jnp.asarray(np.transpose(x_cf, (0, 2, 3, 1)))
+    params = mine.init(jax.random.PRNGKey(0), x_nhwc)
+    p = params["params"]
+
+    convs = [l for l in ref.layers if type(l).__name__ == "Conv2D"]
+    denses = [l for l in ref.layers if type(l).__name__ == "Dense"]
+    for i, l in enumerate(convs):
+        k, bias = l.get_weights()
+        p[f"conv{i}"]["kernel"] = jnp.asarray(k)
+        p[f"conv{i}"]["bias"] = jnp.asarray(bias)
+
+    # last conv output: channels_first (C=32, 3, 3) — 60 -k7-> 54 -p-> 27
+    # -k5-> 23 -p-> 11 -k3-> 9 -p-> 4 -k2-> 3. Keras flatten order is
+    # (c, h, w); ours is (h, w, c) -> permute Dense input rows
+    c, h, w = 32, 3, 3
+    perm = np.arange(c * h * w).reshape(c, h, w).transpose(1, 2, 0).reshape(-1)
+    k0, b0 = denses[0].get_weights()
+    p["dense"]["kernel"] = jnp.asarray(k0[perm])
+    p["dense"]["bias"] = jnp.asarray(b0)
+    k1, b1 = denses[1].get_weights()
+    p["code"]["kernel"] = jnp.asarray(k1)
+    p["code"]["bias"] = jnp.asarray(b1)
+
+    out = np.asarray(mine.apply({"params": p}, x_nhwc))
+    np.testing.assert_allclose(out, ref_out, atol=2e-4)
+
+
+def test_conv3d_branch_parity():
+    """UWYHSemiNet.build_3Dbranch (channels_last) -> Conv3DBranch: identical
+    layouts, direct kernel copy."""
+    os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
+    tf = pytest.importorskip("tensorflow")
+    _stub_tfa()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from nets.mj_uwyhNets_ba import UWYHSemiNet
+
+    import jax
+    import jax.numpy as jnp
+    from ugaitnet_tpu.models.branches import Conv3DBranch
+
+    ref = UWYHSemiNet.build_3Dbranch("grayBranch", ndense_units=32)
+    rng = np.random.RandomState(2)
+    for l in ref.layers:
+        if l.get_weights():
+            l.set_weights([rng.randn(*w.shape).astype(np.float32) * 0.05
+                           for w in l.get_weights()])
+    x = rng.randn(2, 25, 60, 60, 1).astype(np.float32) * 0.3
+    ref_out = ref.predict(x, verbose=0)
+
+    mine = Conv3DBranch(ndense_units=32, activation="relu")
+    params = mine.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    p = params["params"]
+    convs = [l for l in ref.layers if type(l).__name__ == "Conv3D"]
+    for i, l in enumerate(convs[:-1]):
+        k, b = l.get_weights()
+        p[f"conv{i}"]["kernel"] = jnp.asarray(k)
+        p[f"conv{i}"]["bias"] = jnp.asarray(b)
+    k, b = convs[-1].get_weights()
+    p["code"]["kernel"] = jnp.asarray(k)
+    p["code"]["bias"] = jnp.asarray(b)
+
+    out = np.asarray(mine.apply({"params": p}, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref_out, atol=2e-4)
