@@ -18,6 +18,11 @@ import jax.numpy as jnp
 
 
 def main():
+    try:
+        from ugaitnet_tpu.core.runtime import setup_compilation_cache
+        setup_compilation_cache()
+    except Exception:
+        pass
     from ugaitnet_tpu.core.config import BranchConfig, DataConfig, ModelConfig
     from ugaitnet_tpu.data.pipeline import preprocess_batch
     from ugaitnet_tpu.models.network import UGaitNet, init_params

@@ -67,6 +67,8 @@ def load_experiment(experdir: str, epoch: int):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from ugaitnet_tpu.core.runtime import setup_compilation_cache
+    setup_compilation_cache()
     from ugaitnet_tpu.core.config import EvalConfig
     from ugaitnet_tpu.data.schema import GaitDataset
     from ugaitnet_tpu.eval.protocol import (

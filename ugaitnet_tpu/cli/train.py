@@ -117,6 +117,8 @@ def configs_from_args(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from ugaitnet_tpu.core.runtime import setup_compilation_cache
+    setup_compilation_cache()
     from ugaitnet_tpu.data.schema import GaitDataset
     from ugaitnet_tpu.data.synthetic import make_synthetic_dataset
     from ugaitnet_tpu.train.trainer import Trainer, experiment_name
