@@ -16,7 +16,6 @@ Two source modes:
 from __future__ import annotations
 
 import argparse
-import glob
 import os
 import pickle
 

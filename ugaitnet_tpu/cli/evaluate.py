@@ -49,7 +49,7 @@ def build_parser() -> argparse.ArgumentParser:
 def load_experiment(experdir: str, epoch: int):
     from ugaitnet_tpu.core import checkpoint as ckpt
     from ugaitnet_tpu.core.config import load_json
-    from ugaitnet_tpu.models.network import UGaitNet, init_params
+    from ugaitnet_tpu.models.network import UGaitNet
     from ugaitnet_tpu.train.train_step import init_state, make_optimizer
     import jax
 

@@ -44,7 +44,6 @@ def main(argv=None):
     grid = parse_grid(args.grid)
 
     from ugaitnet_tpu.cli import train as train_cli
-    from ugaitnet_tpu.obsv.logger import read_metrics
 
     names = list(grid.keys())
     results = []

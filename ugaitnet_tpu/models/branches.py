@@ -17,7 +17,7 @@ final code layer uses he_uniform (mj_uwyhNets_ba.py:105,368).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax

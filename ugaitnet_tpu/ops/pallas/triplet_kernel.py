@@ -20,7 +20,6 @@ batch size works; shapes are padded to the fp32 (8, 128) tile internally.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

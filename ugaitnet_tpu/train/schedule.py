@@ -15,7 +15,6 @@ small host state machine (exactly how Keras callbacks mutate optimizer.lr):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional
 
 import numpy as np
 

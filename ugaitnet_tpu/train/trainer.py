@@ -19,14 +19,14 @@ from __future__ import annotations
 
 import math
 import os
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Tuple
 
 import jax
 import numpy as np
 
 from ugaitnet_tpu.core import checkpoint as ckpt
-from ugaitnet_tpu.core.config import (DataConfig, EvalConfig, ModelConfig,
-                                      TrainConfig, dump_json)
+from ugaitnet_tpu.core.config import (DataConfig, ModelConfig, TrainConfig,
+                                      dump_json)
 from ugaitnet_tpu.data.pipeline import GaitPipeline
 from ugaitnet_tpu.data.sampler import BalancedGaitSampler, split_train_val_by_video
 from ugaitnet_tpu.data.schema import GaitDataset
