@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wid", type=float, default=0.1, help="id CE weight")
     p.add_argument("--softlabel", type=float, default=0.0)
     p.add_argument("--focal", action="store_true")
+    p.add_argument("--onlytriplet", action="store_true",
+                   help="drop the id-CE term (BothDatasets only_triplet)")
+    p.add_argument("--normbfmerge", action="store_true",
+                   help="L2-normalize branch embeddings before the merge")
     p.add_argument("--tripletkind", type=str, default="batch_all",
                    choices=["batch_all", "semi_hard", "hard"])
     p.add_argument("--epochs", type=int, default=75)
@@ -100,7 +104,7 @@ def configs_from_args(args):
         branches=branches, merge=args.mergefun, nclasses=args.nclasses,
         extra_dense=(256,) if args.casenet == "C" else (),
         postriplet=args.postriplet, dropout_code=args.dropout,
-        aux_losses=args.auxlosses,
+        aux_losses=args.auxlosses, norm_before_merge=args.normbfmerge,
         compute_dtype="bfloat16" if args.bf16 else "float32")
     dcfg = DataConfig(batch_size=args.bs, expand_level=args.expandlevel,
                       repetitions=args.repetitions,
@@ -109,7 +113,8 @@ def configs_from_args(args):
         optimizer=args.optimizer, lr=args.lr, epochs=args.epochs,
         extra_epochs=args.extraepochs, margin=args.margin,
         loss_weights=(args.wver, args.wid), label_smoothing=args.softlabel,
-        use_focal=args.focal, triplet_kind=args.tripletkind,
+        use_focal=args.focal, only_triplet=args.onlytriplet,
+        triplet_kind=args.tripletkind,
         save_every_epochs=args.savemodelfreq, seed=args.seed,
         dp_devices=args.ndevices)
     return mcfg, dcfg, tcfg

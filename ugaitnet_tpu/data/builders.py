@@ -20,6 +20,8 @@ implementation so builders run anywhere.
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
@@ -210,6 +212,25 @@ def merge_modalities(datasets: Sequence[GaitDataset], name: str
                        video_ids=base.video_ids, gaits=base.gaits,
                        cams=base.cams, set_ids=base.set_ids,
                        ntype=base.ntype)
+
+
+def load_silhouette_frames(dirpath: str, pattern: str = "*.png"
+                           ) -> np.ndarray:
+    """Load a directory of per-frame silhouette PNGs as (T, H, W) uint8,
+    sorted by filename (generateSilhouetteData.py's cv2.imread grayscale
+    loop, /root/reference/data/generateSilhouetteData.py:16)."""
+    import glob as _glob
+    files = sorted(_glob.glob(os.path.join(dirpath, pattern)))
+    frames = []
+    for f in files:
+        if _HAS_CV2:
+            img = cv2.imread(f, cv2.IMREAD_GRAYSCALE)
+        else:
+            from PIL import Image
+            img = np.asarray(Image.open(f).convert("L"))
+        if img is not None:
+            frames.append(np.asarray(img, np.uint8))
+    return np.stack(frames) if frames else np.zeros((0, 0, 0), np.uint8)
 
 
 def load_video_frames(path: str, gray: bool = True) -> np.ndarray:

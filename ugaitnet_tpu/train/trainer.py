@@ -106,6 +106,15 @@ class Trainer:
                 batch = shard_batch(batch, self.mesh)
             state, metrics = self.step_fn(state, batch,
                                           jax.random.fold_in(key0, bix))
+            loss = float(metrics["loss"])
+            if not np.isfinite(loss):
+                # failure detection: surface divergence immediately with a
+                # recoverable message instead of training on garbage
+                # (resume from the last per-chunk checkpoint)
+                raise FloatingPointError(
+                    f"non-finite loss {loss} at epoch {epoch} step {bix}; "
+                    f"restart resumes from the last checkpoint in "
+                    f"{self.experdir}")
             for k, v in metrics.items():
                 agg[k] = agg.get(k, 0.0) + float(v)
         return state, {k: v / nsteps for k, v in agg.items()}
