@@ -267,3 +267,41 @@ def test_conv3d_branch_parity():
 
     out = np.asarray(mine.apply({"params": p}, jnp.asarray(x)))
     np.testing.assert_allclose(out, ref_out, atol=2e-4)
+
+
+def test_h5_weight_import(reference_model, tmp_path):
+    """End-to-end migration: save the reference model's weights to h5 (as the
+    reference mains do), import with utils/keras_import (no TF at load time),
+    and verify identical signatures."""
+    ref = reference_model
+    rng = np.random.RandomState(7)
+    for l in ref.layers:
+        if l.get_weights():
+            l.set_weights([rng.randn(*w.shape).astype(np.float32) * 0.05
+                           for w in l.get_weights()])
+    h5path = str(tmp_path / "model-state-0001_weights.hdf5")
+    ref.save_weights(h5path)
+
+    import jax
+    import jax.numpy as jnp
+    from ugaitnet_tpu.core.config import BranchConfig, ModelConfig
+    from ugaitnet_tpu.models.network import UGaitNet, init_params
+    from ugaitnet_tpu.utils.keras_import import load_gaitset_2mod_weights
+
+    mcfg = ModelConfig(
+        branches=(BranchConfig(kind="gaitset", modality="of"),
+                  BranchConfig(kind="gaitset", modality="gray")),
+        merge="max", nclasses=74, l2_mode="reference")
+    model = UGaitNet(mcfg)
+    params = init_params(model, jax.random.PRNGKey(0), batch=2)
+    params = load_gaitset_2mod_weights(h5path, params)
+
+    B = 2
+    of = rng.randn(B, 25, 60, 60, 2).astype(np.float32) * 0.3
+    gray = rng.randn(B, 25, 60, 60, 1).astype(np.float32) * 0.3
+    ones = np.ones((B, 1), np.float32)
+    sig_ref, _ = ref.predict([of, ones, gray, ones], verbose=0)
+    out = model.apply(params, [jnp.asarray(of), jnp.asarray(gray)],
+                      [jnp.ones(B), jnp.ones(B)], train=False)
+    sig_mine = np.transpose(np.asarray(out["signature"]), (1, 0, 2))
+    np.testing.assert_allclose(sig_mine, sig_ref, atol=1.5e-3)
