@@ -1,0 +1,68 @@
+"""Opt-in TPU hardware integration tests.
+
+The default suite pins JAX to the virtual CPU mesh (conftest.py); these
+end-to-end checks run the real flagship-size model on the accelerator and
+are enabled with UGAITNET_TPU_TESTS=1 (they take minutes of compile time on
+a cold cache):
+
+    UGAITNET_TPU_TESTS=1 python -m pytest tests/test_integration_tpu.py -q
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("UGAITNET_TPU_TESTS"),
+    reason="set UGAITNET_TPU_TESTS=1 to run hardware integration tests")
+
+
+def test_flagship_train_and_serve():
+    import jax
+    import jax.numpy as jnp
+    from ugaitnet_tpu.core.config import (BranchConfig, DataConfig,
+                                          ModelConfig, TrainConfig)
+    from ugaitnet_tpu.core.runtime import setup_compilation_cache
+    from ugaitnet_tpu.data.pipeline import GaitPipeline
+    from ugaitnet_tpu.data.sampler import BalancedGaitSampler
+    from ugaitnet_tpu.data.synthetic import make_synthetic_dataset
+    from ugaitnet_tpu.eval.serving import SignatureService
+    from ugaitnet_tpu.models.network import UGaitNet
+    from ugaitnet_tpu.train.train_step import (Batch, init_state,
+                                               make_optimizer,
+                                               make_train_step)
+
+    setup_compilation_cache()
+    ds = make_synthetic_dataset(num_subjects=8, videos_per_subject=3,
+                                subseqs_per_video=3)
+    mcfg = ModelConfig(
+        branches=(BranchConfig(kind="gaitset", modality="of"),
+                  BranchConfig(kind="gaitset", modality="gray")),
+        merge="sign_max", nclasses=8, compute_dtype="bfloat16")
+    tcfg = TrainConfig(lr=3e-4, loss_weights=(1.0, 0.1))
+    model = UGaitNet(mcfg)
+    tx = make_optimizer(tcfg)
+    state = init_state(model, tx, jax.random.PRNGKey(0))
+    step = make_train_step(model, tx, mcfg, tcfg)
+    pipe = GaitPipeline(ds, DataConfig(batch_size=16, expand_level=2),
+                        ("of", "gray"), labmap=ds.label_map())
+    sampler = BalancedGaitSampler(ds.labels, ds.gaits, 16, repetition=2)
+
+    losses = []
+    for i in range(6):
+        vols, flags, labels = pipe.load(sampler.next_batch(),
+                                        jax.random.PRNGKey(i))
+        state, m = step(state, Batch(tuple(vols), tuple(flags), labels),
+                        jax.random.PRNGKey(100 + i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+    svc = SignatureService(model, state.params, ("of", "gray"), knn=1,
+                           buckets=(8, 32))
+    svc.build_gallery(ds, batch_size=32)
+    raw = {"raw_of": ds.modalities["of"].volumes[:8],
+           "raw_gray": ds.modalities["gray"].volumes[:8]}
+    labels, dists = svc.identify_raw(raw)
+    np.testing.assert_array_equal(labels, ds.labels[:8])
