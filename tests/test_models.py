@@ -137,3 +137,44 @@ def test_dropout_only_active_in_train_mode():
                     rngs={"dropout": jax.random.PRNGKey(2)})
     assert not np.allclose(np.asarray(c["signature"]),
                            np.asarray(d["signature"]))
+
+
+def test_single_modality_signature_not_normalized():
+    """Reference quirk: 1-mod nets emit the raw branch output as signature,
+    no L2 (nets/mj_uwyhNets_ba.py:890-907)."""
+    cfg = ModelConfig(branches=(BranchConfig(kind="conv2d", modality="gray",
+                                             filters_numbers=(4, 4, 8, 8),
+                                             ndense_units=16),),
+                      nclasses=0)
+    model = UGaitNet(cfg)
+    params = init_params(model, jax.random.PRNGKey(0), batch=2)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 25, 60, 60, 1)
+                    .astype(np.float32))
+    out = model.apply(params, [x])
+    norms = np.linalg.norm(np.asarray(out["signature"]), axis=-1)
+    assert not np.allclose(norms, 1.0, atol=1e-3)
+
+
+def test_gaitset_flatten_output_variant():
+    """BothDatasets gaitset branch: per-sample flattened + L2-normalized
+    rank-2 embedding (mj_uwyhNets_bothDatasets.py:395-399)."""
+    cfg = ModelConfig(
+        branches=(BranchConfig(kind="gaitset", modality="of",
+                               gaitset_channels=(4, 4, 8), part_dim=8,
+                               flatten_output=True),
+                  BranchConfig(kind="gaitset", modality="gray",
+                               gaitset_channels=(4, 4, 8), part_dim=8,
+                               flatten_output=True)),
+        merge="max", nclasses=5)
+    model = UGaitNet(cfg)
+    params = init_params(model, jax.random.PRNGKey(0), batch=2)
+    vols = [jnp.ones((2, 25, 60, 60, 2)) * 0.1,
+            jnp.ones((2, 25, 60, 60, 1)) * 0.1]
+    out = model.apply(params, vols)
+    assert out["branches"][0].ndim == 2
+    assert out["branches"][0].shape == (2, 62 * 8)
+    assert out["signature"].shape == (2, 62 * 8)
+    # rank-2 branch embeddings are L2-normalized per sample
+    n = np.linalg.norm(np.asarray(out["branches"][0]), axis=-1)
+    np.testing.assert_allclose(n, 1.0, rtol=1e-5)
+    assert out["classprob"].shape == (2, 5)

@@ -61,6 +61,10 @@ class BranchConfig:
     hpp_bins: Tuple[int, ...] = (1, 2, 4, 8, 16)
     part_dim: int = 256
     gaitset_channels: Tuple[int, int, int] = (32, 64, 128)
+    # BothDatasets gaitset variant: flatten the (P, D) parts per sample and
+    # L2-normalize, emitting a rank-2 embedding
+    # (/root/reference/nets/mj_uwyhNets_bothDatasets.py:395-399, norm=True).
+    flatten_output: bool = False
 
     @property
     def in_channels(self) -> int:

@@ -77,7 +77,12 @@ class UGaitNet(nn.Module):
             if bcfg.kind == "conv2d":
                 # 2D branch consumes the (H, W, T*C) plane volume.
                 x = jnp.moveaxis(frames_to_planes(x), -3, -1)
-            embeddings.append(branch(x, train=train))
+            e = branch(x, train=train)
+            if bcfg.kind == "gaitset" and bcfg.flatten_output:
+                # BothDatasets variant: per-sample flatten + L2
+                # (mj_uwyhNets_bothDatasets.py:395-399)
+                e = F.l2_normalize(e.reshape(e.shape[0], -1), axis=-1)
+            embeddings.append(e)
 
         gated = []
         for e, u in zip(embeddings, use_flags):
@@ -87,12 +92,16 @@ class UGaitNet(nn.Module):
 
         if cfg.multimodal:
             fused = F.MERGES[cfg.merge](gated)
+            sig = F.signature(fused, l2_mode=cfg.l2_mode)
         else:
+            # reference quirk parity: the single-modality nets emit the raw
+            # branch output as the signature with NO L2 normalization
+            # (mj_uwyhNets_ba.py:890-907 — the comment says normalize, the
+            # code doesn't).
             fused = gated[0]
+            sig = fused
 
         out: Dict[str, jax.Array] = {"branches": gated}
-
-        sig = F.signature(fused, l2_mode=cfg.l2_mode)
         head_in = sig
         if cfg.extra_dense:
             act = (nn.relu if cfg.branches[0].activation == "relu"
