@@ -11,15 +11,21 @@ by not going through this conftest.
 import os
 import sys
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
 
-import jax  # noqa: E402
+if os.environ.get("UGAITNET_TPU_TESTS"):
+    # hardware integration mode (tests/test_integration_tpu.py): keep the
+    # real accelerator platform
+    import jax  # noqa: E402
+else:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
-jax.config.update("jax_platforms", "cpu")
+    import jax  # noqa: E402
+
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
