@@ -52,29 +52,42 @@ def _dist_and_masks(emb, labels, bp):
     return dist, same, diff
 
 
+ANCHOR_BLOCK = 8
+
+
+def _select_rows(mat, i0, bp):
+    """Rows i0..i0+A of a (B, B) matrix via a one-hot selection matmul —
+    mosaic has no dynamic_slice on values, and an MXU (A, B) x (B, B)
+    matmul is far cheaper than A masked full-matrix reductions."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ANCHOR_BLOCK, bp), 1)
+    anchors = i0 + jax.lax.broadcasted_iota(jnp.int32, (ANCHOR_BLOCK, bp), 0)
+    sel = (rows == anchors).astype(jnp.float32)
+    # HIGHEST precision: the MXU's default bf16 passes would round the
+    # selected values (one-hot selection must be exact).
+    return jnp.dot(sel, mat, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
 def _fwd_kernel(margin_ref, labels_ref, emb_ref, out_ref):
     bp = emb_ref.shape[0]
     margin = margin_ref[0]
     dist, same, diff = _dist_and_masks(emb_ref[...], labels_ref[...], bp)
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (bp, bp), 0)
-
-    def _row(mat, i):
-        # mosaic has no dynamic_slice on values: masked-reduce row i instead
-        return jnp.sum(jnp.where(row_ids == i, mat, 0.0), axis=0)
-
-    def body(i, carry):
+    def body(blk, carry):
         s, c = carry
-        d_i = _row(dist, i)                                      # (B,)
-        pos = _row(same, i)                                      # float 0/1
-        neg = _row(diff, i)
-        # t[j, k] = margin + d[i, j] - d[i, k]
-        t = margin + d_i.reshape(bp, 1) - d_i.reshape(1, bp)
-        actf = (pos.reshape(bp, 1) * neg.reshape(1, bp)
+        i0 = blk * ANCHOR_BLOCK
+        d_a = _select_rows(dist, i0, bp)                    # (A, B)
+        pos = _select_rows(same, i0, bp)
+        neg = _select_rows(diff, i0, bp)
+        # t[a, j, k] = margin + d[a, j] - d[a, k]
+        t = margin + d_a[:, :, None] - d_a[:, None, :]
+        actf = (pos[:, :, None] * neg[:, None, :]
                 * (t > 0.0).astype(jnp.float32))
         return s + jnp.sum(t * actf), c + jnp.sum(actf)
 
-    s, c = jax.lax.fori_loop(0, bp, body,
+    # bp is padded to a multiple of 8 == ANCHOR_BLOCK; padded anchors have
+    # label -1 and contribute nothing (their pos/neg masks are zero).
+    s, c = jax.lax.fori_loop(0, bp // ANCHOR_BLOCK, body,
                              (jnp.float32(0.0), jnp.float32(0.0)))
     # (8, 128) output tile per part: row 0 lane 0 = sum, row 1 lane 0 = count
     # (TPU blocked outputs must fill a full (8, 128) fp32 tile).
@@ -91,23 +104,27 @@ def _bwd_kernel(margin_ref, scale_ref, labels_ref, emb_ref, grad_ref):
     x = emb_ref[...].astype(jnp.float32)
     dist, same, diff = _dist_and_masks(x, labels_ref[...], bp)
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (bp, bp), 0)
-
-    def _row(mat, i):
-        return jnp.sum(jnp.where(row_ids == i, mat, 0.0), axis=0)
-
-    def body(i, g_dist):
-        d_i = _row(dist, i)
-        pos = _row(same, i)
-        neg = _row(diff, i)
-        t = margin + d_i.reshape(bp, 1) - d_i.reshape(1, bp)
-        act = (pos.reshape(bp, 1) * neg.reshape(1, bp)
+    def body(blk, g_dist):
+        i0 = blk * ANCHOR_BLOCK
+        d_a = _select_rows(dist, i0, bp)                    # (A, B)
+        pos = _select_rows(same, i0, bp)
+        neg = _select_rows(diff, i0, bp)
+        t = margin + d_a[:, :, None] - d_a[:, None, :]
+        act = (pos[:, :, None] * neg[:, None, :]
                * (t > 0.0).astype(jnp.float32))
-        g_row = (jnp.sum(act, axis=1) - jnp.sum(act, axis=0)).reshape(1, bp)
-        return g_dist + jnp.where(row_ids == i, g_row, 0.0)
+        g_rows = jnp.sum(act, axis=2) - jnp.sum(act, axis=1)   # (A, B)
+        # scatter the A rows back: (B, A) selection^T @ (A, B)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (ANCHOR_BLOCK, bp), 1)
+        anchors = (i0 + jax.lax.broadcasted_iota(
+            jnp.int32, (ANCHOR_BLOCK, bp), 0))
+        sel = (rows == anchors).astype(jnp.float32)
+        return g_dist + jnp.dot(sel.T, g_rows,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
 
     g_dist = jax.lax.fori_loop(
-        0, bp, body, jnp.zeros((bp, bp), jnp.float32)) * scale
+        0, bp // ANCHOR_BLOCK, body,
+        jnp.zeros((bp, bp), jnp.float32)) * scale
 
     inv_d = jnp.where(dist > 0.0, 1.0 / jnp.where(dist > 0.0, dist, 1.0),
                       0.0)
@@ -140,7 +157,7 @@ def _combine(per_sum, per_cnt):
 
 def _triplet_fwd_call(emb_pbd, labels, margin, interpret):
     p, b, d = emb_pbd.shape
-    bp, dp = _round_up(b, 8), _round_up(d, 128)
+    bp, dp = _round_up(b, 128), _round_up(d, 128)
     emb, lab = _pad(emb_pbd, labels, bp, dp)
     out_shape = jax.ShapeDtypeStruct((p, 8, 128), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -170,7 +187,7 @@ def _triplet_vjp_fwd(emb_pbd, labels, margin, interpret):
 def _triplet_vjp_bwd(margin, interpret, res, g):
     emb_pbd, labels, per_cnt = res
     p, b, d = emb_pbd.shape
-    bp, dp = _round_up(b, 8), _round_up(d, 128)
+    bp, dp = _round_up(b, 128), _round_up(d, 128)
     emb, lab = _pad(emb_pbd, labels, bp, dp)
     scale = jnp.where(per_cnt > 0, g / (jnp.maximum(per_cnt, 1.0) * p), 0.0)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -44,6 +44,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Place every leaf of a Batch pytree with its axis-0 sharded over the
     data axis of the mesh."""
+    n = mesh.shape[DATA_AXIS]
+    leaves = jax.tree.leaves(batch)
+    if leaves and leaves[0].shape[0] % n != 0:
+        raise ValueError(
+            f"global batch {leaves[0].shape[0]} not divisible by the "
+            f"{n}-device data axis; pick batch_size*expand_level divisible "
+            f"by the device count")
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 

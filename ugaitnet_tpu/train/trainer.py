@@ -120,10 +120,25 @@ class Trainer:
         return state, {k: v / nsteps for k, v in agg.items()}
 
     def _validate(self, state: TrainState, ds: GaitDataset,
-                  val_idx: np.ndarray) -> Dict[str, float]:
+                  val_idx: np.ndarray, epoch: int = 0) -> Dict[str, float]:
         codes, labels, _, _ = encode_dataset(
             self.model, state.params, ds, self.modalities, typecode=3,
             batch_size=max(self.dcfg.batch_size, 32), indices=val_idx)
+        # projector export + first-conv filter images, like the TUM mains'
+        # per-chunk visual logging (mains/..._1mod.py:553-612)
+        try:
+            self.logger.export_embeddings(epoch, codes, labels)
+            from ugaitnet_tpu.utils.net_utils import save_filter_grid
+            p = state.params["params"]
+            bkey = f"branch_{self.modalities[0]}"
+            first = p[bkey].get("a_conv1", p[bkey].get("conv0"))
+            if first is not None and "kernel" in first:
+                save_filter_grid(
+                    np.asarray(first["kernel"]),
+                    os.path.join(self.experdir, "filters",
+                                 f"conv1_{epoch:04d}.png"))
+        except Exception:
+            pass
         return verification_eer(codes, labels)
 
     # ------------------------------------------------------------------
@@ -150,7 +165,7 @@ class Trainer:
             if epoch % tcfg.save_every_epochs == 0 or epoch == tcfg.epochs:
                 ckpt.save_checkpoint(self.experdir, epoch, state)
                 if len(val_idx) > 0:
-                    vm = self._validate(state, ds, val_idx)
+                    vm = self._validate(state, ds, val_idx, epoch)
                     self.logger.log(epoch, vm, prefix="val/")
                 new_lr = plateau.update(m.get("loss", 0.0))
                 if not np.isclose(new_lr, get_lr(state), rtol=1e-5):
