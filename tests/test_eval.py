@@ -160,3 +160,23 @@ def test_gallery_cache_roundtrip(tmp_path, trained):
     g2 = encode_set(model, state.params, ds, ("of", "gray"), ecfg,
                     cache_path=path)
     np.testing.assert_array_equal(g1.codes, g2.codes)
+
+
+def test_casenet_c_code_tap_eval():
+    """Eval through the 'code' tap (typecode!=1,3) on a casenet-C model."""
+    from ugaitnet_tpu.eval.encode import encode_dataset as enc
+    ds = make_synthetic_dataset(num_subjects=3, videos_per_subject=2,
+                                subseqs_per_video=2, seed=9)
+    mcfg = ModelConfig(
+        branches=(BranchConfig(kind="gaitset", modality="of",
+                               gaitset_channels=(4, 4, 8), part_dim=8),
+                  BranchConfig(kind="gaitset", modality="gray",
+                               gaitset_channels=(4, 4, 8), part_dim=8)),
+        merge="max", nclasses=3, extra_dense=(16,))
+    model = UGaitNet(mcfg)
+    from ugaitnet_tpu.models.network import init_params
+    params = init_params(model, jax.random.PRNGKey(0))
+    codes, labels, _, _ = enc(model, params, ds, ("of", "gray"), typecode=2,
+                              batch_size=8)
+    # code tap: (B, P, extra_dense) flattened
+    assert codes.shape == (len(ds), 62 * 16)
