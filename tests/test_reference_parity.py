@@ -305,3 +305,26 @@ def test_h5_weight_import(reference_model, tmp_path):
                       [jnp.ones(B), jnp.ones(B)], train=False)
     sig_mine = np.transpose(np.asarray(out["signature"]), (1, 0, 2))
     np.testing.assert_allclose(sig_mine, sig_ref, atol=1.5e-3)
+
+
+def test_affine_matches_keras():
+    """Pin affine_volume's axis/zoom/fill semantics against the actual Keras
+    apply_affine_transform (used by mj_transformsequence,
+    /root/reference/data/mj_augmentation.py:35-50)."""
+    os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
+    kp = pytest.importorskip("tf_keras.preprocessing.image")
+
+    import jax.numpy as jnp
+    from ugaitnet_tpu.ops.augment import affine_volume
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(60, 60).astype(np.float32)
+    for (tx, ty, zx, zy) in [(3, -5, 1.0, 1.0), (0, 0, 0.96, 1.04),
+                             (-5, 3, 1.03, 0.97), (5, 5, 1.04, 0.96)]:
+        ref = kp.apply_affine_transform(
+            img[:, :, None], tx=tx, ty=ty, zx=zx, zy=zy, row_axis=0,
+            col_axis=1, channel_axis=2, fill_mode="nearest", order=1)[:, :, 0]
+        mine = np.asarray(affine_volume(jnp.asarray(img[None, :, :, None]),
+                                        tx, ty, zx, zy))[0, :, :, 0]
+        np.testing.assert_allclose(mine, ref, atol=2e-5,
+                                   err_msg=f"params {(tx, ty, zx, zy)}")

@@ -112,19 +112,22 @@ def affine_volume(x: jax.Array, tx: jax.Array, ty: jax.Array,
                   zx: jax.Array, zy: jax.Array) -> jax.Array:
     """Keras apply_affine_transform parity on a (T, H, W, C) volume.
 
-    Inverse mapping: in = Z @ (out - center) + center + (tx, ty); bilinear
-    interpolation; coordinates clamped to the frame (== fill_mode='nearest').
-    One transform is shared by all frames/channels of the volume, like the
-    reference applies one Keras transform per sequence
-    (mj_augmentation.py:35-50).
+    Inverse mapping with zoom centered at (dim-1)/2, bilinear interpolation,
+    coordinates clamped to the frame (== fill_mode='nearest'). One transform
+    is shared by all frames/channels of the volume, like the reference
+    applies one Keras transform per sequence (mj_augmentation.py:35-50).
+
+    Axis convention pinned empirically against tf_keras
+    (tests/test_reference_parity.py::test_affine_matches_keras): (tx, zx)
+    act on axis 1 (columns), (ty, zy) on axis 0 (rows).
     """
     t, h, w, c = x.shape
     cy = (h - 1) / 2.0
     cx = (w - 1) / 2.0
     rows = jnp.arange(h, dtype=jnp.float32)
     cols = jnp.arange(w, dtype=jnp.float32)
-    src_r = zx * (rows - cy) + cy + tx          # (H,)
-    src_c = zy * (cols - cx) + cx + ty          # (W,)
+    src_r = zy * (rows - cy) + cy + ty          # (H,)
+    src_c = zx * (cols - cx) + cx + tx          # (W,)
 
     r0 = jnp.clip(jnp.floor(src_r), 0, h - 1)
     c0 = jnp.clip(jnp.floor(src_c), 0, w - 1)
