@@ -152,14 +152,15 @@ def photometric_volume(x: jax.Array, brightness: jax.Array,
                        channel_shift: jax.Array) -> jax.Array:
     """Channel shift then brightness, net-effect parity with the Keras path.
 
-    channel shift: x + intensity, clipped to the volume's per-channel
-    min/max (Keras apply_channel_shift).
+    channel shift: x + intensity, clipped to per-frame per-channel min/max
+    (Keras apply_channel_shift; the reference transforms each frame
+    separately, so the bounds are per frame — mj_augmentation.py:39-44).
     brightness: per-frame min-max rescale to [0,1], * factor, - 0.5 (the net
     effect of array_to_img -> ImageEnhance -> img_to_array -> the /255-0.5
     renormalization at mj_augmentation.py:47-48, minus the uint8 rounding).
     """
-    cmin = jnp.min(x, axis=(0, 1, 2), keepdims=True)
-    cmax = jnp.max(x, axis=(0, 1, 2), keepdims=True)
+    cmin = jnp.min(x, axis=(1, 2), keepdims=True)
+    cmax = jnp.max(x, axis=(1, 2), keepdims=True)
     x = jnp.clip(x + channel_shift, cmin, cmax)
 
     fmin = jnp.min(x, axis=(1, 2, 3), keepdims=True)
