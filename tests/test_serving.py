@@ -60,3 +60,12 @@ def test_missing_modality_query(service):
     labels, dists = svc.identify_raw(raw)
     assert labels.shape == (2,)
     assert np.isfinite(dists).all()
+
+
+def test_warmup_precompiles_buckets(service):
+    ds, svc = service
+    svc.warmup()  # must not raise; compiles both buckets
+    raw = {"raw_of": ds.modalities["of"].volumes[:2],
+           "raw_gray": ds.modalities["gray"].volumes[:2]}
+    labels, _ = svc.identify_raw(raw)
+    assert labels.shape == (2,)

@@ -111,3 +111,41 @@ def test_aux_and_focal_losses_run():
     assert np.isfinite(float(metrics["loss"]))
     assert "aux_ce_0" in metrics and "aux_ce_1" in metrics
     assert float(metrics["reg"]) > 0  # conv2d branches carry L2 reg
+
+
+def test_trainer_with_mesh_end_to_end(tmp_path):
+    """Trainer on the 8-device data-parallel mesh: epochs, checkpoints,
+    validation — the full loop under GSPMD."""
+    from ugaitnet_tpu.core import checkpoint as ckpt
+    from ugaitnet_tpu.data.synthetic import make_synthetic_dataset
+    from ugaitnet_tpu.parallel.sharding import make_mesh
+    from ugaitnet_tpu.train.trainer import Trainer
+
+    ds = make_synthetic_dataset(num_subjects=4, videos_per_subject=3,
+                                subseqs_per_video=2, seed=5)
+    mcfg = ModelConfig(
+        branches=(BranchConfig(kind="gaitset", modality="of",
+                               gaitset_channels=(4, 4, 8), part_dim=8),
+                  BranchConfig(kind="gaitset", modality="gray",
+                               gaitset_channels=(4, 4, 8), part_dim=8)),
+        merge="sign_max", nclasses=4)
+    # bs * expand = 16, divisible by the 8-device axis
+    dcfg = DataConfig(batch_size=8, expand_level=2, repetitions=2,
+                      augment=False)
+    tcfg = TrainConfig(lr=1e-3, epochs=2, extra_epochs=0,
+                       save_every_epochs=1, loss_weights=(1.0, 0.1))
+    mesh = make_mesh(8)
+    t = Trainer(mcfg, dcfg, tcfg, str(tmp_path / "exp"), mesh=mesh)
+    state = t.fit(ds, val_perc=0.3)
+    assert ckpt.latest_checkpoint_step(str(tmp_path / "exp")) == 2
+    assert np.isfinite(np.asarray(
+        jax.tree.leaves(state.params)[0], dtype=np.float32)).all()
+
+
+def test_shard_batch_divisibility_error():
+    from ugaitnet_tpu.parallel.sharding import make_mesh, shard_batch
+    mesh = make_mesh(8)
+    bad = Batch(volumes=(jnp.zeros((10, 2)),), use_flags=(jnp.ones(10),),
+                labels=jnp.zeros(10, jnp.int32))
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_batch(bad, mesh)

@@ -101,6 +101,22 @@ class SignatureService:
             typecode=self.typecode, batch_size=batch_size)
         self.set_gallery(codes, labels)
 
+    def warmup(self) -> None:
+        """Precompile every query bucket so steady-state serving never hits
+        a compile (call once after set_gallery/build_gallery)."""
+        if self._gallery_codes is None:
+            raise RuntimeError("no gallery set")
+        import numpy as _np
+        from ugaitnet_tpu.core.config import MODALITY_CHANNELS, NUM_FRAMES
+        for b in self.buckets:
+            raw = {}
+            for m in self.modalities:
+                c = MODALITY_CHANNELS[m]
+                dt = _np.int16 if self.compress_factors[
+                    self.modalities.index(m)] > 1 else _np.uint8
+                raw[f"raw_{m}"] = _np.zeros((b, NUM_FRAMES * c, 60, 60), dt)
+            self.identify_raw(raw)
+
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
             if n <= b:
