@@ -1,0 +1,64 @@
+"""Int8 quantized inference path (weight quant on CPU; full path on TPU)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ugaitnet_tpu.core.config import BranchConfig, ModelConfig
+from ugaitnet_tpu.models.network import UGaitNet, init_params
+from ugaitnet_tpu.ops.quantize import (
+    calibrate_branch, quantize_model_params, quantize_weight)
+
+
+def test_quantize_weight_roundtrip():
+    rng = np.random.RandomState(0)
+    w = rng.randn(3, 3, 16, 32).astype(np.float32)
+    wq, s = quantize_weight(jnp.asarray(w))
+    assert wq.dtype == jnp.int8 and s.shape == (32,)
+    back = np.asarray(wq, np.float32) * np.asarray(s)
+    # per-channel 8-bit quantization error bound
+    assert np.abs(back - w).max() <= np.asarray(s).max() * 0.5 + 1e-6
+
+
+def test_calibration_records_all_frame_convs():
+    cfg = BranchConfig(kind="gaitset", modality="gray",
+                       gaitset_channels=(4, 4, 8), part_dim=8)
+    from ugaitnet_tpu.models.gaitset import GaitSetBranch
+    m = GaitSetBranch(channels=cfg.gaitset_channels, hpp_bins=cfg.hpp_bins,
+                      part_dim=cfg.part_dim)
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(2, 25, 60, 60, 1).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)
+    calib = calibrate_branch(params["params"], x, cfg)
+    assert set(calib) == {f"a_conv{i}" for i in range(1, 7)}
+    assert all(v > 0 for v in calib.values())
+
+
+@pytest.mark.skipif(not os.environ.get("UGAITNET_TPU_TESTS"),
+                    reason="int8 convs need the TPU backend")
+def test_int8_encode_matches_fp32_on_tpu():
+    import dataclasses
+    from ugaitnet_tpu.ops.quantize import encode_int8
+
+    mcfg = ModelConfig(
+        branches=(BranchConfig(kind="gaitset", modality="of"),
+                  BranchConfig(kind="gaitset", modality="gray")),
+        merge="sign_max", nclasses=0)
+    model = UGaitNet(dataclasses.replace(mcfg, l2_mode="feature"))
+    params = init_params(model, jax.random.PRNGKey(0), batch=2)
+    rng = np.random.RandomState(0)
+    B = 16
+    of = jnp.asarray(rng.randn(B, 25, 60, 60, 2).astype(np.float32) * 0.3)
+    gray = jnp.asarray(rng.randn(B, 25, 60, 60, 1).astype(np.float32) * 0.3)
+    flags = (jnp.ones(B), jnp.ones(B))
+    qparams = quantize_model_params(params, mcfg, [of, gray])
+
+    fp = np.asarray(model.apply(params, [of, gray], list(flags),
+                                train=False)["flatten"])
+    q = np.asarray(encode_int8(qparams, [of, gray], flags, mcfg))
+    cos = (fp * q).sum(1) / (np.linalg.norm(fp, axis=1)
+                             * np.linalg.norm(q, axis=1) + 1e-9)
+    assert cos.min() > 0.99
