@@ -180,3 +180,16 @@ def test_casenet_c_code_tap_eval():
                               batch_size=8)
     # code tap: (B, P, extra_dense) flattened
     assert codes.shape == (len(ds), 62 * 16)
+
+
+def test_knn_sharded_gallery_matches_single_device():
+    from ugaitnet_tpu.ops.knn import knn_predict_sharded
+    from ugaitnet_tpu.parallel.sharding import make_mesh
+    rng = np.random.RandomState(1)
+    gal = rng.randn(101, 16).astype(np.float32)   # odd size -> padding path
+    labs = rng.randint(10, 60, 101)
+    probes = rng.randn(17, 16).astype(np.float32)
+    want = knn_predict(probes, gal, labs, k=3)
+    mesh = make_mesh(8)
+    got = knn_predict_sharded(probes, gal, labs, mesh, k=3)
+    np.testing.assert_array_equal(got, want)
