@@ -137,7 +137,7 @@ def gaitset_branch_int8(qparams: Dict[str, Any], x: jax.Array,
     y1, _ = qconv("a_conv1", a0, True)
     # requant directly in the conv epilogue: lrelu then scale to the next
     # conv's static input grid — stays fused, writes int8 to HBM
-    a1q = _requant(_lrelu(y1, alpha) / 1.0, qparams["a_conv2"]["in_scale"])
+    a1q = _requant(_lrelu(y1, alpha), qparams["a_conv2"]["in_scale"])
     y2, _ = qconv("a_conv2", a1q, False)
     a2f = _lrelu(y2, alpha)
     a2q = _requant(a2f, qparams["a_conv3"]["in_scale"])
