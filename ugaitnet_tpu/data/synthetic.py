@@ -53,7 +53,10 @@ def make_synthetic_dataset(num_subjects: int = 8,
         for v in range(videos_per_subject):
             vid = s * videos_per_subject + v
             gait = gait_types[v % len(gait_types)]
-            cam = int(rng.randint(num_cams))
+            # deterministic spread so every subject appears in every camera
+            # once videos_per_subject >= num_cams (the camera-pair protocol
+            # needs each subject present in single-camera galleries)
+            cam = v % num_cams
             for _ in range(subseqs_per_video):
                 labels[i] = s + 1          # raw ids start at 1 like CASIA-B
                 video_ids[i] = vid
