@@ -71,17 +71,25 @@ def encode_dataset(model: UGaitNet, params, ds: GaitDataset,
     codes, metas = [], []
     key = jax.random.PRNGKey(0)
     for batch_idx in SequentialSampler(n, batch_size).epoch():
+        # pad the trailing partial batch to the full size so it reuses the
+        # compiled executable (a fresh shape costs minutes on cold caches);
+        # padded rows are sliced off after the forward.
+        real = len(batch_idx)
+        if real < batch_size:
+            batch_idx = np.concatenate(
+                [batch_idx, np.full(batch_size - real, batch_idx[-1])])
         vols, flags, _ = pipe.load(batch_idx, key, expand=1)
         flags = [f * u for f, u in zip(flags, use_mods)]
-        codes.append(np.asarray(encode(params, tuple(vols), tuple(flags))))
-        metas.append(batch_idx)
+        codes.append(np.asarray(encode(params, tuple(vols),
+                                       tuple(flags)))[:real])
+        metas.append(batch_idx[:real])
         if mirror:
             mvols = [jax.vmap(
                 lambda v, m=m: mirror_volume(v, is_of=(m == "of")))(v)
                 for v, m in zip(vols, modalities)]
             codes.append(np.asarray(encode(params, tuple(mvols),
-                                           tuple(flags))))
-            metas.append(batch_idx)
+                                           tuple(flags)))[:real])
+            metas.append(batch_idx[:real])
 
     sel = pipe.indices[np.concatenate(metas)]
     return (np.concatenate(codes), np.asarray(ds.labels[sel]),
