@@ -62,3 +62,35 @@ def test_int8_encode_matches_fp32_on_tpu():
     cos = (fp * q).sum(1) / (np.linalg.norm(fp, axis=1)
                              * np.linalg.norm(q, axis=1) + 1e-9)
     assert cos.min() > 0.99
+
+
+@pytest.mark.skipif(not os.environ.get("UGAITNET_TPU_TESTS"),
+                    reason="int8 convs need the TPU backend")
+def test_quantized_serving_on_tpu():
+    from ugaitnet_tpu.data.synthetic import make_synthetic_dataset
+    from ugaitnet_tpu.eval.serving import SignatureService
+
+    ds = make_synthetic_dataset(num_subjects=5, videos_per_subject=2,
+                                subseqs_per_video=2, seed=3)
+    mcfg = ModelConfig(
+        branches=(BranchConfig(kind="gaitset", modality="of"),
+                  BranchConfig(kind="gaitset", modality="gray")),
+        merge="sign_max", nclasses=0)
+    model = UGaitNet(mcfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+
+    # calibration batches from the dataset itself
+    from ugaitnet_tpu.ops.preprocess import planes_to_frames
+    of = planes_to_frames(jnp.asarray(
+        ds.modalities["of"].volumes[:8].astype(np.float32) / 1000.0), 2)
+    gray = planes_to_frames(jnp.asarray(
+        ds.modalities["gray"].volumes[:8].astype(np.float32) / 255.0 - 0.5), 1)
+
+    svc = SignatureService(model, params, ("of", "gray"), knn=1,
+                           buckets=(8,), quantized=True,
+                           calib_volumes=[of, gray])
+    svc.build_gallery(ds, batch_size=8)
+    raw = {"raw_of": ds.modalities["of"].volumes[:4],
+           "raw_gray": ds.modalities["gray"].volumes[:4]}
+    labels, dists = svc.identify_raw(raw)
+    np.testing.assert_array_equal(labels, ds.labels[:4])

@@ -38,7 +38,9 @@ class SignatureService:
                  modalities: Sequence[str], typecode: int = 3,
                  knn: int = 3, ntype: int = 2,
                  compress_factors: Optional[Sequence[float]] = None,
-                 buckets: Sequence[int] = (1, 8, 32, 128)):
+                 buckets: Sequence[int] = (1, 8, 32, 128),
+                 quantized: bool = False,
+                 calib_volumes: Optional[Sequence] = None):
         # The reference-parity signature normalizes rank-3 signatures over
         # the BATCH axis (ModelConfig.l2_mode="reference",
         # /root/reference/nets/mj_uwyhNets_ba.py:817) — codes then depend on
@@ -66,13 +68,28 @@ class SignatureService:
         self._gallery_dense: Optional[jax.Array] = None
         self._ulabels: Optional[np.ndarray] = None
 
+        # optional int8 encode (ops/quantize.py): requires pre-quantized
+        # params (calibrated on representative volumes)
+        self.quantized = quantized
+        if quantized:
+            from ugaitnet_tpu.ops.quantize import quantize_model_params
+            if calib_volumes is None:
+                raise ValueError("quantized=True needs calib_volumes "
+                                 "(one (B,T,H,W,C_i) batch per modality)")
+            self.params = quantize_model_params(params, model.config,
+                                                calib_volumes)
+
         @functools.partial(jax.jit, static_argnames=("n_classes", "k"))
         def _identify(params, raw, gallery, gallery_dense, n_classes, k):
             vols, flags, _ = preprocess_batch(
                 raw, jax.random.PRNGKey(0), self.modalities, self.channels,
                 self.compress_factors, self.ntype, 1, False, self._dcfg)
-            out = self.model.apply(params, vols, flags, train=False)
-            codes = _tap(out, self.typecode)
+            if self.quantized:
+                from ugaitnet_tpu.ops.quantize import encode_int8
+                codes = encode_int8(params, vols, flags, self.model.config)
+            else:
+                out = self.model.apply(params, vols, flags, train=False)
+                codes = _tap(out, self.typecode)
             p2 = jnp.sum(jnp.square(codes), axis=1, keepdims=True)
             g2 = jnp.sum(jnp.square(gallery), axis=1)
             d2 = jnp.maximum(
@@ -87,6 +104,19 @@ class SignatureService:
 
         self._identify = _identify
 
+        @jax.jit
+        def _encode_raw(params, raw):
+            vols, flags, _ = preprocess_batch(
+                raw, jax.random.PRNGKey(0), self.modalities, self.channels,
+                self.compress_factors, self.ntype, 1, False, self._dcfg)
+            if self.quantized:
+                from ugaitnet_tpu.ops.quantize import encode_int8
+                return encode_int8(params, vols, flags, self.model.config)
+            out = self.model.apply(params, vols, flags, train=False)
+            return _tap(out, self.typecode)
+
+        self._encode_raw = _encode_raw
+
     # ------------------------------------------------------------------
     def set_gallery(self, codes: np.ndarray, labels: np.ndarray) -> None:
         self._ulabels, dense = np.unique(np.asarray(labels),
@@ -95,11 +125,27 @@ class SignatureService:
         self._gallery_dense = jnp.asarray(dense.astype(np.int32))
 
     def build_gallery(self, ds: GaitDataset, batch_size: int = 128) -> None:
-        from ugaitnet_tpu.eval.encode import encode_dataset
-        codes, labels, _, _ = encode_dataset(
-            self.model, self.params, ds, self.modalities,
-            typecode=self.typecode, batch_size=batch_size)
-        self.set_gallery(codes, labels)
+        """Embed a packed dataset with this service's encode path (works for
+        both float and quantized modes) and install it as the gallery."""
+        codes = []
+        n = len(ds)
+        for s in range(0, n, batch_size):
+            idx = np.arange(s, min(s + batch_size, n))
+            real = len(idx)
+            if real < batch_size:  # reuse the compiled full-batch executable
+                idx = np.concatenate(
+                    [idx, np.full(batch_size - real, idx[-1])])
+            raw = {"labels": jnp.zeros(len(idx), jnp.int32),
+                   "source": jnp.zeros(len(idx), jnp.int32)}
+            for m in self.modalities:
+                store = ds.modalities[m]
+                raw[f"raw_{m}"] = jnp.asarray(
+                    np.ascontiguousarray(store.volumes[idx]))
+                raw[f"present_{m}"] = jnp.asarray(
+                    store.present[idx].astype(np.float32))
+            codes.append(np.asarray(
+                self._encode_raw(self.params, raw))[:real])
+        self.set_gallery(np.concatenate(codes), ds.labels)
 
     def warmup(self) -> None:
         """Precompile every query bucket so steady-state serving never hits
