@@ -1,0 +1,137 @@
+"""Component micro-benchmarks (reproduces the round-1 measurements).
+
+Run on the accelerator:  python benchmarks/bench_components.py [--quick]
+
+Covers:
+  - per-layer conv TFLOPS at the model's shapes (bf16)
+  - gaitset branch forward throughput vs batch size
+  - batch-all triplet loss: XLA chunked vs Pallas kernel (fwd + grad)
+  - native vs numpy host gather
+(end-to-end preprocess+embed lives in the repo-root bench.py; the int8 path
+comparison in tests/test_quantize.py + CLAUDE.md notes)
+
+Prints one human-readable line per measurement plus a final JSON summary.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def timeit(f, n=20):
+    """f() must return a jax scalar/array; fetch forces execution (the
+    remote-tunnel backend's block_until_ready is unreliable)."""
+    import jax.numpy as jnp
+
+    def sync(v):
+        float(jnp.sum(v.astype(jnp.float32)))
+
+    sync(f())
+    t0 = time.perf_counter()
+    for _ in range(n - 1):
+        f()
+    sync(f())
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    reps = 10 if args.quick else 30
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    try:
+        from ugaitnet_tpu.core.runtime import setup_compilation_cache
+        setup_compilation_cache()
+    except Exception:
+        pass
+
+    results = {}
+    rng = np.random.RandomState(0)
+
+    # --- conv sweep -------------------------------------------------------
+    print("# conv layers (B*T = 3200 frames)")
+    shapes = [(64, 2, 32, 5), (64, 32, 32, 3), (32, 32, 64, 3),
+              (32, 64, 64, 3), (16, 64, 128, 3), (16, 128, 128, 3)]
+    B = 3200
+
+    def conv(x, w, pet=None):
+        kw = {"preferred_element_type": pet} if pet else {}
+        return lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), **kw)
+
+    for (hh, ci, co, k) in shapes:
+        x = jnp.asarray((rng.randn(B, hh, hh, ci) * .1).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        w = jnp.asarray((rng.randn(k, k, ci, co) * .1).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        # pass arrays as ARGUMENTS — closure-captured arrays become HLO
+        # constants and blow up the remote compiler's request size
+        f = jax.jit(conv)
+        t = timeit(lambda: f(x, w), reps)
+        fl = B * hh * hh * k * k * ci * co * 2
+        name = f"conv_{hh}x{hh}_{ci}to{co}_k{k}"
+        results[name] = {"ms": t * 1e3, "tflops": fl / t / 1e12}
+        print(f"  {name}: {t*1e3:6.2f} ms = {fl/t/1e12:5.1f} TFLOPS")
+
+    # --- branch forward vs batch -----------------------------------------
+    print("# gaitset branch (bf16)")
+    from ugaitnet_tpu.models.gaitset import GaitSetBranch
+    gs = GaitSetBranch(dtype=jnp.bfloat16)
+    for bb in ((64, 128) if args.quick else (64, 128, 256)):
+        x = jnp.asarray(rng.randn(bb, 25, 60, 60, 1).astype(np.float32))
+        p = gs.init(jax.random.PRNGKey(0), x)
+        f = jax.jit(gs.apply)
+        t = timeit(lambda: f(p, x), reps)
+        results[f"branch_b{bb}"] = {"ms": t * 1e3, "clips_per_s": bb / t}
+        print(f"  B={bb}: {t*1e3:6.2f} ms  {bb/t:7.0f} clips/s")
+
+    # --- triplet losses ---------------------------------------------------
+    print("# batch-all triplet (P=62, B=120, D=256)")
+    from ugaitnet_tpu.ops.triplet import batch_all_triplet_loss
+    from ugaitnet_tpu.ops.pallas.triplet_kernel import (
+        batch_all_triplet_loss_pallas)
+    emb = jnp.asarray(rng.randn(120, 62, 256).astype(np.float32))
+    labels = jnp.asarray(np.repeat(np.arange(12), 10).astype(np.int32))
+    for name, fn in (("xla", batch_all_triplet_loss),
+                     ("pallas", batch_all_triplet_loss_pallas)):
+        fwd = jax.jit(lambda e, fn=fn: fn(e, labels, 0.2))
+        bwd = jax.jit(jax.grad(lambda e, fn=fn: fn(e, labels, 0.2)))
+        tf_ = timeit(lambda: fwd(emb), reps)
+        tb = timeit(lambda: jnp.sum(jnp.abs(bwd(emb))), reps)
+        results[f"triplet_{name}"] = {"fwd_ms": tf_ * 1e3, "bwd_ms": tb * 1e3}
+        print(f"  {name}: fwd {tf_*1e3:5.2f} ms  grad {tb*1e3:5.2f} ms")
+
+    # --- host gather ------------------------------------------------------
+    print("# host gather (128 x 360KB rows)")
+    from ugaitnet_tpu.data.native import gather_rows, native_available
+    src = rng.randint(-3000, 3000, (2000, 50, 60, 60)).astype(np.int16)
+    idx = rng.randint(0, 2000, 128).astype(np.int64)
+
+    def htime(f, n=30):
+        f()
+        t0 = time.perf_counter()
+        for _ in range(n):
+            f()
+        return (time.perf_counter() - t0) / n
+    tn = htime(lambda: gather_rows(src, idx))
+    tnp = htime(lambda: src[idx])
+    results["gather"] = {"native_ms": tn * 1e3, "numpy_ms": tnp * 1e3,
+                         "native_available": native_available()}
+    print(f"  native: {tn*1e3:.2f} ms  numpy: {tnp*1e3:.2f} ms")
+
+    print(json.dumps(results, indent=2, default=float))
+
+
+if __name__ == "__main__":
+    main()

@@ -3,9 +3,10 @@
 The XLA formulation (ops/triplet.py) materializes a (chunk, B, B, B) triplet
 tensor in HBM per part-chunk; this kernel keeps everything in VMEM: one grid
 program per part computes the pairwise-distance matrix with an MXU matmul
-and reduces the masked triplet hinge on the fly (fori over anchors), writing
-back only a per-part (sum, count) pair — O(P*B*D) HBM traffic instead of
-O(P*B^3).
+and reduces the masked triplet hinge on the fly (fori over 8-anchor blocks,
+each block's distance/mask rows extracted with an exact one-hot selection
+matmul), writing back only a per-part (sum, count) pair — O(P*B*D) HBM
+traffic instead of O(P*B^3).
 
 Backward is a second kernel with the analytic gradient:
   t[i,j,k] = margin + d[i,j] - d[i,k],  active = valid & t > 0
