@@ -127,3 +127,21 @@ def test_pipeline_augmentation_changes_data_but_not_labels(ds):
     v2, _, l2 = pipe.load(np.arange(4), jax.random.PRNGKey(4))
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
     assert not np.allclose(np.asarray(v1[0]), np.asarray(v2[0]))
+
+
+def test_augmentation_probabilities_match_reference(ds):
+    """Call-site probability parity (...single.py:401-417): ~3/4 of samples
+    get a transform, ~1/2 of those also flip."""
+    import jax
+    from ugaitnet_tpu.ops.augment import random_transform_params
+    p = random_transform_params(jax.random.PRNGKey(0), 4000)
+    apply_rate = float(np.asarray(p.apply, np.float32).mean())
+    flip_rate = float(np.asarray(p.flip, np.float32).mean())
+    clip_rate = float(np.asarray(p.clip_of, np.float32).mean())
+    assert abs(apply_rate - 0.75) < 0.03
+    assert abs(flip_rate - 0.375) < 0.03   # flip only when apply: 0.75*0.5
+    assert abs(clip_rate - 0.5) < 0.03
+    # shift values come from the reference displace set
+    assert set(np.unique(np.asarray(p.tx))) <= {-5.0, -3.0, 0.0, 3.0, 5.0}
+    z = np.asarray(p.zx)
+    assert z.min() >= 0.96 - 1e-6 and z.max() <= 1.04 + 1e-6

@@ -161,6 +161,7 @@ class Trainer:
         while epoch < tcfg.epochs:
             state, m = self._epoch(state, pipe, sampler, epoch, seed)
             epoch += 1
+            m["lr"] = get_lr(state)
             self.logger.log(epoch, m, prefix="train/")
             if epoch % tcfg.save_every_epochs == 0 or epoch == tcfg.epochs:
                 ckpt.save_checkpoint(self.experdir, epoch, state)
