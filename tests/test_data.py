@@ -145,3 +145,21 @@ def test_augmentation_probabilities_match_reference(ds):
     assert set(np.unique(np.asarray(p.tx))) <= {-5.0, -3.0, 0.0, 3.0, 5.0}
     z = np.asarray(p.zx)
     assert z.min() >= 0.96 - 1e-6 and z.max() <= 1.04 + 1e-6
+
+
+def test_three_mod_dropout_distribution():
+    """3-mod expand=2 even rows: disable count uniform in {1, nmods-1}
+    (with-replacement picks), never all modalities (__gen_batchMM :783-807)."""
+    from ugaitnet_tpu.data.pipeline import _dropout_masks
+    m = np.asarray(_dropout_masks(jax.random.PRNGKey(0), 2000, 3, 2))
+    copy1 = m[:, 1, :]
+    even = np.arange(2000) % 2 == 0
+    # never everything disabled, never everything kept on the dropout copy
+    assert copy1.sum(1).min() >= 1
+    assert (copy1[even].sum(1) <= 2).all()
+    # odd rows: exactly one modality kept, cycling
+    assert (copy1[~even].sum(1) == 1).all()
+    # even rows: both 1-kept and 2-kept cases occur with real mass
+    kept = copy1[even].sum(1)
+    frac_two_kept = (kept == 2).mean()
+    assert 0.45 < frac_two_kept < 0.88  # ref: P(1 disabled) = 2/3

@@ -104,14 +104,21 @@ def _dropout_masks(key: jax.Array, batch: int, nmods: int, expand: int
     copies = [jnp.ones((batch, nmods), jnp.float32)]
     for ex in range(expand - 1):
         k_ex = jax.random.fold_in(key, ex)
-        ndisable = min(ex + 1, nmods - 1) if expand > 2 else None
-        if ndisable is None:
-            ndisable = nmods - 1  # worst case; sampled count below
+        if expand > 2:
+            # fixed count per copy index (__gen_batchMM :790)
+            ndis = jnp.full((batch,), min(ex + 1, nmods - 1), jnp.int32)
+        else:
+            # expand==2: count sampled uniformly in [1, nmods) (:792)
+            ndis = jax.random.randint(jax.random.fold_in(k_ex, 1),
+                                      (batch,), 1, nmods)
         picks = jax.random.randint(k_ex, (batch, nmods - 1), 0, nmods)
         mask_even = jnp.ones((batch, nmods), jnp.float32)
-        for d in range(ndisable):
-            mask_even = mask_even * (1.0 - jax.nn.one_hot(
-                picks[:, d], nmods, dtype=jnp.float32))
+        for d in range(nmods - 1):
+            disable_d = (1.0 - jax.nn.one_hot(picks[:, d], nmods,
+                                              dtype=jnp.float32))
+            active = (d < ndis).astype(jnp.float32)[:, None]
+            mask_even = mask_even * (disable_d * active
+                                     + (1.0 - active))
         keep_ix = (rows + ex) % nmods
         mask_odd = jax.nn.one_hot(keep_ix, nmods, dtype=jnp.float32)
         copies.append(jnp.where(even[:, None], mask_even, mask_odd))
