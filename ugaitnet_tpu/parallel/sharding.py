@@ -88,6 +88,79 @@ def make_sharded_train_step(model, tx, mcfg, tcfg, mesh: Mesh):
                    out_shardings=(rep, rep))
 
 
+def make_shardmap_train_step(model, tx, mcfg, tcfg, mesh: Mesh):
+    """Explicit-collectives data-parallel step (shard_map).
+
+    The GSPMD step above gives global-batch semantics (identical to single
+    device). This variant spells the collectives out, SURVEY.md §2.5 style:
+    per-shard forward, `all_gather` of the (b_local, P, D) signatures +
+    labels over ICI before batch-all mining (the parity-preserving choice —
+    the gathered embeddings are ~4 MB, cheap on ICI), `pmean` of the local
+    CE/aux terms, and `pmean` of gradients (the NCCL-all-reduce analogue).
+
+    Semantics note: with ModelConfig.l2_mode="reference" the signature
+    normalizes over the LOCAL batch axis here — exactly what the reference's
+    MirroredStrategy replicas did — whereas the GSPMD step normalizes over
+    the global batch (single-device semantics). With l2_mode="feature" the
+    two are numerically identical (tested).
+    """
+    import optax
+    import jax.numpy as jnp
+    from ugaitnet_tpu.ops import losses as L
+    from ugaitnet_tpu.ops.triplet import make_triplet_loss
+    from ugaitnet_tpu.train.train_step import Batch, TrainState
+
+    triplet_fn = make_triplet_loss(tcfg.triplet_kind, tcfg.margin)
+    axis = DATA_AXIS
+
+    def local_loss(params, batch: Batch, key):
+        out = model.apply(params, list(batch.volumes),
+                          list(batch.use_flags), train=True,
+                          rngs={"dropout": key})
+        sig = out["signature"]
+        sig_g = jax.lax.all_gather(sig, axis, axis=0, tiled=True)
+        labels_g = jax.lax.all_gather(batch.labels, axis, axis=0, tiled=True)
+        total = jnp.float32(tcfg.loss_weights[0]) * triplet_fn(sig_g,
+                                                               labels_g)
+        metrics = {}
+        if mcfg.nclasses > 0 and not tcfg.only_triplet:
+            onehot = jax.nn.one_hot(batch.labels, mcfg.nclasses)
+            l_id = L.softmax_crossentropy_logits(
+                out["classprob_logits"], onehot, tcfg.label_smoothing)
+            l_id = jax.lax.pmean(l_id, axis)
+            w_id = tcfg.loss_weights[1] if len(tcfg.loss_weights) > 1 else 1.0
+            total = total + w_id * l_id
+            metrics["id_ce"] = l_id
+            metrics["acc"] = jax.lax.pmean(
+                L.accuracy(out["classprob"], onehot), axis)
+        metrics["loss"] = total
+        return total, metrics
+
+    def sharded_step(state: TrainState, batch: Batch, key: jax.Array):
+        def per_shard(params, opt_state, step, batch):
+            k = jax.random.fold_in(
+                jax.random.fold_in(key, step),
+                jax.lax.axis_index(axis))  # distinct dropout per shard
+            (_, metrics), grads = jax.value_and_grad(
+                local_loss, has_aux=True)(params, batch, k)
+            grads = jax.lax.pmean(grads, axis)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        fn = jax.shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P(), P(), P(), P(DATA_AXIS)),
+            out_specs=(P(), P(), P()),
+            check_vma=False)
+        params, opt_state, metrics = fn(state.params, state.opt_state,
+                                        state.step, batch)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), metrics
+
+    return jax.jit(sharded_step, donate_argnums=(0,))
+
+
 def shard_batch_multihost(batch: Any, mesh: Mesh) -> Any:
     """Multi-host pods: every process passes its *local* shard of the global
     batch (the DCN data-sharding path, SURVEY.md §5.8); jax assembles the
