@@ -43,16 +43,10 @@ def main(argv=None):
     args = p.parse_args(own)
     grid = parse_grid(args.grid)
 
-    import glob
-    import os
+    import time
 
     from ugaitnet_tpu.cli import train as train_cli
     from ugaitnet_tpu.obsv.logger import read_metrics
-
-    # locate --experdir in the passthrough flags (default matches train CLI)
-    experdir = "./experiments"
-    if "--experdir" in passthrough:
-        experdir = passthrough[passthrough.index("--experdir") + 1]
 
     names = list(grid.keys())
     results = []
@@ -65,17 +59,17 @@ def main(argv=None):
         fix = "-".join(fix_parts)
         flags += ["--experfix", f"sweep_{fix}"]
         print(f"=== sweep point: {dict(zip(names, combo))}", flush=True)
-        train_cli.main(flags)
-        point = {"point": dict(zip(names, combo))}
-        dirs = glob.glob(os.path.join(experdir, f"sweep_{fix}_*"))
-        if dirs:
-            recs = read_metrics(dirs[0])
-            final = {}
-            for r in recs:
+        t0 = time.time()
+        experdir = train_cli.main(flags)
+        point = {"point": dict(zip(names, combo)), "experdir": experdir}
+        # metrics.jsonl is append-mode across reruns of the same config:
+        # keep only records written by THIS run
+        final = {}
+        for r in read_metrics(experdir):
+            if r.get("time", 0) >= t0:
                 final.update({k: v for k, v in r.items()
                               if k not in ("step", "time")})
-            point["experdir"] = dirs[0]
-            point["final_metrics"] = final
+        point["final_metrics"] = final
         results.append(point)
 
     print(json.dumps(results, indent=2))

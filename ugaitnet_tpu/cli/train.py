@@ -171,6 +171,7 @@ def main(argv=None):
                       norm_stats=norm_stats)
     trainer.fit(ds, val_perc=args.valperc, seed=args.seed)
     print("* training done", flush=True)
+    return experdir
 
 
 if __name__ == "__main__":
