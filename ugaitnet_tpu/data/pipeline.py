@@ -82,7 +82,10 @@ def _dropout_masks(key: jax.Array, batch: int, nmods: int, expand: int
     2-mod parity (...single.py:500-535): copy 1 disables a random modality,
     copy 2 the other. >=3-mod parity (__gen_batchMM :783-807): even samples
     disable min(ex+1, nmods-1) randomly-chosen (with replacement) modalities;
-    odd samples keep exactly one, cycling (i+ex) % nmods.
+    odd samples keep exactly one, cycling. Deliberate deviation: the
+    reference hardcodes the cycle as (i+ex) % 3 (:802) so a 4th+ modality
+    could never be the sole survivor; we cycle % nmods (identical for
+    nmods<=3, sane for more).
     """
     if expand <= 1:
         return jnp.ones((batch, expand, nmods), jnp.float32)
@@ -146,7 +149,7 @@ def preprocess_batch(raw: Dict[str, jax.Array], key: jax.Array,
     Returns (volumes[(B*E, T, H, W, C_m)], use_flags[(B*E,)], labels (B*E,)).
     """
     batch = raw["labels"].shape[0]
-    k_aug, k_clip, k_drop = jax.random.split(key, 3)
+    k_aug, k_drop = jax.random.split(key, 2)
 
     # One affine/flip draw per sample, shared across modalities (the
     # reference copies tx/ty and flip between modality transforms,
@@ -165,7 +168,7 @@ def preprocess_batch(raw: Dict[str, jax.Array], key: jax.Array,
                          flip=base.flip) for p in params]
 
     volumes, use_flags = [], []
-    clip_coin = jax.random.bernoulli(k_clip, 0.5, (batch,))
+    clip_coin = base.clip_of  # one per-sample coin (...single.py:412-417)
     for mi, m in enumerate(modalities):
         x = raw[f"raw_{m}"].astype(jnp.float32)
         cf = compress_factors[mi]
@@ -229,30 +232,50 @@ class PrefetchLoader:
         self._n = len(sampler)
 
         def producer():
-            k = key
             for i, idx in enumerate(sampler.epoch()):
                 if self._stop:
                     return
-                k = jax.random.fold_in(key, i)
-                batch = pipe.load(idx, k, expand=expand)
-                self._q.put(batch)
-            self._q.put(None)
+                batch = pipe.load(idx, jax.random.fold_in(key, i),
+                                  expand=expand)
+                if not self._put(batch):
+                    return
+            self._put(None)
 
         self._t = threading.Thread(target=producer, daemon=True)
         self._t.start()
 
+    def _put(self, item) -> bool:
+        import queue
+        while not self._stop:
+            try:
+                self._q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue  # re-check _stop so close() can unblock us
+        return False
+
     def __iter__(self):
-        while True:
-            item = self._q.get()
-            if item is None:
-                return
-            yield item
+        try:
+            while True:
+                item = self._q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            # consumer stopped early (exception / break): release the
+            # producer so it doesn't park forever holding device batches
+            self.close()
 
     def __len__(self):
         return self._n
 
     def close(self):
         self._stop = True
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
 
 
 class GaitPipeline:

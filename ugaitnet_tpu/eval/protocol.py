@@ -41,13 +41,21 @@ class EncodedSet:
     video_ids: np.ndarray
     cams: np.ndarray
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, config_key: str = "") -> None:
         np.savez_compressed(path, codes=self.codes, labels=self.labels,
-                            video_ids=self.video_ids, cams=self.cams)
+                            video_ids=self.video_ids, cams=self.cams,
+                            config_key=np.asarray(config_key))
 
     @classmethod
-    def load(cls, path: str) -> "EncodedSet":
+    def load(cls, path: str, config_key: str = "") -> "EncodedSet":
         z = np.load(path)
+        if config_key and "config_key" in z:
+            stored = str(z["config_key"])
+            if stored and stored != config_key:
+                raise ValueError(
+                    f"cached codes at {path} were built with config "
+                    f"{stored!r}, requested {config_key!r}; delete the "
+                    f"cache or use a different cache_path")
         return cls(codes=z["codes"], labels=z["labels"],
                    video_ids=z["video_ids"], cams=z["cams"])
 
@@ -59,14 +67,19 @@ def encode_set(model: UGaitNet, params, ds: GaitDataset,
                cache_path: Optional[str] = None) -> EncodedSet:
     """Embed a dataset, with the reference's gallery-code caching
     (codes_gallery_*.h5 pattern, mj_testUWYHGaitNet_open_casiab.py:291-324)."""
+    # the cache key pins everything that changes the codes, so reusing one
+    # cache_path across configurations fails loudly instead of silently
+    # returning stale embeddings
+    key = (f"typecode={cfg.typecode};mirror={int(mirror)};"
+           f"use_mods={list(use_mods) if use_mods is not None else 'all'}")
     if cache_path and os.path.exists(cache_path):
-        return EncodedSet.load(cache_path)
+        return EncodedSet.load(cache_path, config_key=key)
     codes, labels, vids, cams = encode_dataset(
         model, params, ds, modalities, typecode=cfg.typecode,
         batch_size=cfg.batch_size, use_mods=use_mods, mirror=mirror)
     es = EncodedSet(codes, labels, vids, cams)
     if cache_path:
-        es.save(cache_path)
+        es.save(cache_path, config_key=key)
     return es
 
 
@@ -109,14 +122,21 @@ def _merge_codes_per_video(es: EncodedSet, use_avg: bool = True
 
 
 def eval_openset(gallery: EncodedSet, probe: EncodedSet, knn: int = 3,
-                 use_avg: bool = True) -> Dict[str, float]:
-    """TUM-style: subseq kNN + per-video vote + merged-code video kNN."""
+                 use_avg: bool = True,
+                 merged_gallery: Optional[Tuple[np.ndarray, np.ndarray]]
+                 = None) -> Dict[str, float]:
+    """TUM-style: subseq kNN + per-video vote + merged-code video kNN.
+
+    merged_gallery: optional precomputed (codes, labels) from
+    _merge_codes_per_video(gallery) so combo sweeps don't re-merge the same
+    gallery per probe configuration."""
     pred = knn_predict(probe.codes, gallery.codes, gallery.labels, k=knn)
     out = {"rank1_subseq": rank1_accuracy(pred, probe.labels)}
     acc_vid, _, _ = video_majority_vote(pred, probe.labels, probe.video_ids)
     out["rank1_video_vote"] = acc_vid
 
-    gal_codes, gal_labels = _merge_codes_per_video(gallery, use_avg)
+    gal_codes, gal_labels = (merged_gallery if merged_gallery is not None
+                             else _merge_codes_per_video(gallery, use_avg))
     pr_codes, pr_labels = _merge_codes_per_video(probe, use_avg)
     pred_vid = knn_predict(pr_codes, gal_codes, gal_labels, k=knn)
     out["rank1_video_merged"] = rank1_accuracy(pred_vid, pr_labels)
@@ -150,11 +170,13 @@ def eval_all_combos(model: UGaitNet, params, gallery_ds: GaitDataset,
     else:
         gallery = encode_set(model, params, gallery_ds, modalities, cfg)
 
+    merged_gallery = _merge_codes_per_video(gallery, use_avg)
     results = {}
     for combo in modality_combos(len(modalities)):
         probe = encode_set(model, params, probe_ds, modalities, cfg,
                            use_mods=combo)
         name = "+".join(m for m, c in zip(modalities, combo) if c)
         results[name] = eval_openset(gallery, probe, knn=cfg.knn,
-                                     use_avg=use_avg)
+                                     use_avg=use_avg,
+                                     merged_gallery=merged_gallery)
     return results

@@ -166,7 +166,9 @@ def photometric_volume(x: jax.Array, brightness: jax.Array,
     fmin = jnp.min(x, axis=(1, 2, 3), keepdims=True)
     fmax = jnp.max(x, axis=(1, 2, 3), keepdims=True)
     unit = (x - fmin) / jnp.maximum(fmax - fmin, 1e-12)
-    return unit * brightness - 0.5
+    # PIL's uint8 brightness saturates at 255, capping the reference output
+    # at +0.5 — clamp to match
+    return jnp.clip(unit * brightness, 0.0, 1.0) - 0.5
 
 
 def augment_volume(x: jax.Array, p: TransformParams, is_of: bool,
