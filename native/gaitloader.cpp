@@ -46,6 +46,10 @@ class Pool {
       for (int64_t i = 0; i < items; ++i) fn(i);  // no pool win on 1 core
       return;
     }
+    // One dispatch at a time: ctypes releases the GIL, so two Python threads
+    // (e.g. two live PrefetchLoaders) can enter run() concurrently; without
+    // this they would race on fn_/items_/pending_/next_.
+    std::lock_guard<std::mutex> dispatch_lock(run_m_);
     ensure_started();
     int usable = nslots_;
     if (nthreads > 0 && nthreads < usable) usable = nthreads;
@@ -114,6 +118,7 @@ class Pool {
 
   std::once_flag started_;
   int nslots_ = 1;
+  std::mutex run_m_;  // serializes concurrent run() callers
   std::mutex m_;
   std::condition_variable cv_, done_cv_;
   const std::function<void(int64_t)>* fn_ = nullptr;

@@ -1,0 +1,111 @@
+"""Trainer controllers: val-loss plateau, best checkpoint, resume of the
+LR schedule state (reference: ReduceLROnPlateau(monitor='val_loss') +
+ModelCheckpoint(save_best_only=True), mains/..._1mod.py:245-248,
+mains/..._CasiaB.py:363-364)."""
+
+import numpy as np
+import jax
+import pytest
+
+from ugaitnet_tpu.core import checkpoint as ckpt
+from ugaitnet_tpu.core.config import (BranchConfig, DataConfig, ModelConfig,
+                                      TrainConfig)
+from ugaitnet_tpu.data.synthetic import make_synthetic_dataset
+from ugaitnet_tpu.train.train_step import get_lr
+from ugaitnet_tpu.train.trainer import Trainer
+
+
+def _tiny_cfgs():
+    mcfg = ModelConfig(
+        branches=(BranchConfig(kind="gaitset", modality="of",
+                               gaitset_channels=(4, 4, 8), part_dim=8),),
+        nclasses=4)
+    dcfg = DataConfig(batch_size=4, expand_level=1, repetitions=2,
+                      augment=False)
+    tcfg = TrainConfig(lr=1e-3, epochs=5, extra_epochs=0,
+                       save_every_epochs=1, loss_weights=(1.0, 0.1))
+    return mcfg, dcfg, tcfg
+
+
+@pytest.fixture(scope="module")
+def tiny_ds():
+    return make_synthetic_dataset(num_subjects=4, videos_per_subject=3,
+                                  subseqs_per_video=2, seed=3)
+
+
+def test_plateau_drops_lr_on_val_plateau_not_train(tiny_ds, tmp_path,
+                                                   monkeypatch):
+    """Train loss decreases every epoch, but the val loss is pinned flat:
+    the LR must still drop (plateau monitors val, patience=3)."""
+    mcfg, dcfg, tcfg = _tiny_cfgs()
+    monkeypatch.setattr(Trainer, "_val_metrics",
+                        lambda self, state, pipe: {"loss": 1.0})
+    monkeypatch.setattr(Trainer, "_validate",
+                        lambda self, state, ds, idx, epoch=0: {})
+    t = Trainer(mcfg, dcfg, tcfg, str(tmp_path / "exp"))
+    state = t.fit(tiny_ds, val_perc=0.3)
+    assert get_lr(state) < tcfg.lr * 0.99, (
+        "LR should have dropped on the flat val loss")
+
+
+def test_best_checkpoint_tracks_min_val_loss(tiny_ds, tmp_path, monkeypatch):
+    mcfg, dcfg, tcfg = _tiny_cfgs()
+    val_seq = iter([3.0, 1.0, 2.0, 2.5, 2.5])
+    captured = {}
+
+    def fake_val(self, state, pipe):
+        v = next(val_seq)
+        if v == 1.0:  # remember the params that should become 'best'
+            captured["params"] = jax.device_get(state.params)
+        return {"loss": v}
+
+    monkeypatch.setattr(Trainer, "_val_metrics", fake_val)
+    monkeypatch.setattr(Trainer, "_validate",
+                        lambda self, state, ds, idx, epoch=0: {})
+    t = Trainer(mcfg, dcfg, tcfg, str(tmp_path / "exp"))
+    state = t.fit(tiny_ds, val_perc=0.3)
+
+    assert ckpt.has_best_checkpoint(str(tmp_path / "exp"))
+    best = ckpt.restore_checkpoint(str(tmp_path / "exp"), "best", state)
+    a = jax.tree.leaves(captured["params"])[0]
+    b = jax.tree.leaves(best.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_plateau_state_survives_resume(tiny_ds, tmp_path, monkeypatch):
+    """After a restart, the reduced LR must persist (no reset to tcfg.lr)."""
+    mcfg, dcfg, tcfg = _tiny_cfgs()
+    monkeypatch.setattr(Trainer, "_val_metrics",
+                        lambda self, state, pipe: {"loss": 1.0})
+    monkeypatch.setattr(Trainer, "_validate",
+                        lambda self, state, ds, idx, epoch=0: {})
+    exp = str(tmp_path / "exp")
+    t = Trainer(mcfg, dcfg, tcfg, exp)
+    state = t.fit(tiny_ds, val_perc=0.3)
+    reduced = get_lr(state)
+    assert reduced < tcfg.lr * 0.99
+
+    import dataclasses
+    tcfg2 = dataclasses.replace(tcfg, epochs=7)
+    t2 = Trainer(mcfg, dcfg, tcfg2, exp)
+    state2 = t2.fit(tiny_ds, val_perc=0.3)
+    assert get_lr(state2) <= reduced * 1.001, (
+        "resume must not reset the reduced LR back to tcfg.lr")
+
+
+def test_val_metrics_real_path(tiny_ds, tmp_path):
+    """The un-mocked _val_metrics runs the eval step on the val view and
+    returns a finite full-objective loss."""
+    from ugaitnet_tpu.data.pipeline import GaitPipeline
+    from ugaitnet_tpu.data.sampler import split_train_val_by_video
+
+    mcfg, dcfg, tcfg = _tiny_cfgs()
+    t = Trainer(mcfg, dcfg, tcfg, str(tmp_path / "exp"))
+    state, _ = t.init_or_resume()
+    _, val_idx = split_train_val_by_video(tiny_ds.video_ids, perc=0.3,
+                                          seed=0)
+    pipe = GaitPipeline(tiny_ds, dcfg, t.modalities,
+                        labmap=tiny_ds.label_map(), indices=val_idx)
+    vm = t._val_metrics(state, pipe)
+    assert np.isfinite(vm["loss"])
+    assert "id_ce" in vm

@@ -40,6 +40,18 @@ def test_frozen_optimizer_zeroes_conv_updates():
     assert np.abs(np.asarray(head_up)).max() > 0
 
 
+def test_freeze_mask_insertion_order_independent():
+    """Regression: labels must follow each leaf's own path even when dict
+    insertion order differs from tree_flatten's sorted key order (the old
+    zip-against-recursion approach froze the wrong subtree)."""
+    from ugaitnet_tpu.utils.net_utils import freeze_mask
+    # 'b_mod' inserted before 'a_mod': insertion order != sorted order.
+    params = {"b_mod": {"z": jnp.ones(2)}, "a_mod": {"z": jnp.ones(2)}}
+    labels = freeze_mask(params, lambda p: "b_mod" in p)
+    assert labels["b_mod"]["z"] == "frozen"
+    assert labels["a_mod"]["z"] == "trainable"
+
+
 def test_freeze_branches_predicate():
     assert freeze_branches_predicate("params/branch_of/a_conv1/kernel")
     assert not freeze_branches_predicate("params/classprob/kernel")

@@ -23,8 +23,9 @@ import numpy as np
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("ugaitnet-eval")
     p.add_argument("--experdir", type=str, required=True)
-    p.add_argument("--epoch", type=int, default=-1,
-                   help="checkpoint epoch (-1 = latest)")
+    p.add_argument("--epoch", type=str, default="-1",
+                   help="checkpoint epoch (-1 = latest, 'best' = the "
+                        "best-val-loss checkpoint)")
     p.add_argument("--gallery", type=str, required=True,
                    help="packed gallery dataset dir ('ft' split)")
     p.add_argument("--probes", type=str, nargs="+", required=True,
@@ -46,7 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def load_experiment(experdir: str, epoch: int):
+def load_experiment(experdir: str, epoch):
+    """epoch: an int (negative = latest) or the string 'best'."""
     from ugaitnet_tpu.core import checkpoint as ckpt
     from ugaitnet_tpu.core.config import load_json
     from ugaitnet_tpu.models.network import UGaitNet
@@ -58,7 +60,13 @@ def load_experiment(experdir: str, epoch: int):
     model = UGaitNet(mcfg)
     tx = make_optimizer(tcfg)
     target = init_state(model, tx, jax.random.PRNGKey(0))
-    step = (ckpt.latest_checkpoint_step(experdir) if epoch < 0 else epoch)
+    if epoch == "best":
+        if not ckpt.has_best_checkpoint(experdir):
+            raise SystemExit(f"no 'best' checkpoint in {experdir}")
+        step = "best"
+    else:
+        epoch = int(epoch)
+        step = (ckpt.latest_checkpoint_step(experdir) if epoch < 0 else epoch)
     if step is None:
         raise SystemExit(f"no checkpoint found in {experdir}")
     state = ckpt.restore_checkpoint(experdir, step, target)
@@ -97,8 +105,17 @@ def main(argv=None):
                 model, state.params, gallery_ds, probe_ds, modalities, ecfg,
                 combo_gallery=args.allcombos, use_avg=args.useavg)
         else:
+            # probe codes are cached per test dir like the gallery's
+            # (mj_testUWYHGaitNet_open_casiab.py:349-366)
+            mods_tag = ("all" if args.usemod is None else
+                        "m" + "".join(str(int(u)) for u in args.usemod))
+            probe_cache = os.path.join(
+                args.experdir,
+                f"codes_probe_{name}_e{step}_t{args.typecode}"
+                f"_{mods_tag}.npz")
             probe = encode_set(model, state.params, probe_ds, modalities,
-                               ecfg, use_mods=args.usemod)
+                               ecfg, use_mods=args.usemod,
+                               cache_path=probe_cache)
             if args.protocol == "casiab":
                 per_cam = {}
                 for cam in np.unique(probe.cams):

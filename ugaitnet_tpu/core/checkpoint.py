@@ -28,12 +28,23 @@ def _ckpt_root(experdir: str) -> str:
     return os.path.join(os.path.abspath(experdir), "ckpt")
 
 
-def save_checkpoint(experdir: str, step: int, state: Any) -> str:
-    """Save a pytree (TrainState or params) at integer step/epoch."""
-    path = os.path.join(_ckpt_root(experdir), str(int(step)))
+def _step_dir(step) -> str:
+    """Integer epochs plus the special 'best' slot
+    (ModelCheckpoint(save_best_only=True) parity,
+    /root/reference/mains/mj_trainUWYHGaitNet_DataGen_CasiaB.py:363-364)."""
+    return "best" if step == "best" else str(int(step))
+
+
+def save_checkpoint(experdir: str, step, state: Any) -> str:
+    """Save a pytree (TrainState or params) at integer step/epoch or 'best'."""
+    path = os.path.join(_ckpt_root(experdir), _step_dir(step))
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, jax.device_get(state), force=True)
     return path
+
+
+def has_best_checkpoint(experdir: str) -> bool:
+    return os.path.isdir(os.path.join(_ckpt_root(experdir), "best"))
 
 
 def latest_checkpoint_step(experdir: str, epoch_max: Optional[int] = None
@@ -48,9 +59,9 @@ def latest_checkpoint_step(experdir: str, epoch_max: Optional[int] = None
     return max(steps) if steps else None
 
 
-def restore_checkpoint(experdir: str, step: int, target: Any) -> Any:
+def restore_checkpoint(experdir: str, step, target: Any) -> Any:
     """Restore into the structure of `target` (same pytree layout)."""
-    path = os.path.join(_ckpt_root(experdir), str(int(step)))
+    path = os.path.join(_ckpt_root(experdir), _step_dir(step))
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(path, jax.device_get(target))
 
@@ -59,7 +70,7 @@ def restore_params_surgery(experdir: str, step: int, target_params: Any
                            ) -> Any:
     """Restore params, keeping target's weights wherever shapes mismatch
     (classifier-head surgery when nclasses changes)."""
-    path = os.path.join(_ckpt_root(experdir), str(int(step)))
+    path = os.path.join(_ckpt_root(experdir), _step_dir(step))
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(path)
 

@@ -127,7 +127,10 @@ class UGaitNet(nn.Module):
 
         out["signature"] = sig
         flat = head_in.reshape(batch, -1)
-        out["flatten"] = sig.reshape(batch, -1)
+        # the reference's Flatten layer (the typecode-3 tap) sits on the
+        # dropcode output when extra_dense is set, not on the signature
+        # (mj_uwyhNets_ba.py: Flatten feeds classprob from the dropout)
+        out["flatten"] = flat
 
         if cfg.nclasses > 0:
             logits = nn.Dense(cfg.nclasses, kernel_init=glorot, dtype=dtype,

@@ -58,15 +58,25 @@ class MetricsLogger:
             self._tb.add_histogram(name, np.asarray(values), step)
 
     def export_embeddings(self, step: int, codes: np.ndarray,
-                          labels: Sequence, tag: str = "signatures") -> str:
+                          labels: Sequence, tag: str = "signatures",
+                          images: Sequence = None) -> str:
         """Projector-style export (mj_register_embedding parity,
-        nets/mj_utils.py:75-131): codes .npy + labels .tsv per step."""
+        nets/mj_utils.py:75-131): codes .npy + labels .tsv per step, plus a
+        sprite sheet when per-sample thumbnails are given (mj_save_sprite,
+        nets/mj_utils.py:95-131)."""
         d = os.path.join(self.experdir, "projector", f"{tag}_{step:05d}")
         os.makedirs(d, exist_ok=True)
         np.save(os.path.join(d, "codes.npy"), np.asarray(codes))
         with open(os.path.join(d, "metadata.tsv"), "w") as f:
             for l in labels:
                 f.write(f"{l}\n")
+        if images is not None and len(images) == len(codes):
+            try:
+                from ugaitnet_tpu.utils.net_utils import save_sprite
+                save_sprite(images, os.path.join(d, "sprite.png"),
+                            max_size=2048)
+            except Exception:
+                pass
         if self._tb is not None:
             try:
                 self._tb.add_embedding(np.asarray(codes),

@@ -120,19 +120,37 @@ def make_shardmap_train_step(model, tx, mcfg, tcfg, mesh: Mesh):
         sig = out["signature"]
         sig_g = jax.lax.all_gather(sig, axis, axis=0, tiled=True)
         labels_g = jax.lax.all_gather(batch.labels, axis, axis=0, tiled=True)
-        total = jnp.float32(tcfg.loss_weights[0]) * triplet_fn(sig_g,
-                                                               labels_g)
+        lw = list(tcfg.loss_weights)
+        total = jnp.float32(lw[0]) * triplet_fn(sig_g, labels_g)
         metrics = {}
         if mcfg.nclasses > 0 and not tcfg.only_triplet:
             onehot = jax.nn.one_hot(batch.labels, mcfg.nclasses)
-            l_id = L.softmax_crossentropy_logits(
-                out["classprob_logits"], onehot, tcfg.label_smoothing)
+            if tcfg.use_focal:
+                l_id = L.sigmoid_focal_crossentropy(out["classprob"], onehot)
+            else:
+                l_id = L.softmax_crossentropy_logits(
+                    out["classprob_logits"], onehot, tcfg.label_smoothing)
             l_id = jax.lax.pmean(l_id, axis)
-            w_id = tcfg.loss_weights[1] if len(tcfg.loss_weights) > 1 else 1.0
+            w_id = lw[1] if len(lw) > 1 else 1.0
             total = total + w_id * l_id
             metrics["id_ce"] = l_id
             metrics["acc"] = jax.lax.pmean(
                 L.accuracy(out["classprob"], onehot), axis)
+            if mcfg.aux_losses and "aux_logits" in out:
+                # pad weights with the last value (mj_uwyhNets_ba.py:880-884)
+                while len(lw) < 2 + len(out["aux_logits"]):
+                    lw.append(lw[-1])
+                for i, al in enumerate(out["aux_logits"]):
+                    l_aux = jax.lax.pmean(L.softmax_crossentropy_logits(
+                        al, onehot, tcfg.label_smoothing), axis)
+                    metrics[f"aux_ce_{i}"] = l_aux
+                    total = total + lw[2 + i] * l_aux
+        # Explicit L2 terms (Keras kernel_regularizer parity) — params are
+        # replicated so this needs no collective.
+        from ugaitnet_tpu.train.train_step import l2_regularization
+        reg = l2_regularization(params, mcfg)
+        metrics["reg"] = reg
+        total = total + reg
         metrics["loss"] = total
         return total, metrics
 

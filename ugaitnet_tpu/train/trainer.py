@@ -36,8 +36,8 @@ from ugaitnet_tpu.models.network import UGaitNet
 from ugaitnet_tpu.obsv.logger import MetricsLogger
 from ugaitnet_tpu.train.schedule import EarlyStopOnAccuracy, ReduceLROnPlateau
 from ugaitnet_tpu.train.train_step import (
-    Batch, TrainState, get_lr, init_state, make_optimizer, make_train_step,
-    set_lr)
+    Batch, TrainState, get_lr, init_state, make_eval_step, make_optimizer,
+    make_train_step, set_lr)
 
 
 def experiment_name(mcfg: ModelConfig, dcfg: DataConfig, tcfg: TrainConfig,
@@ -53,6 +53,21 @@ def experiment_name(mcfg: ModelConfig, dcfg: DataConfig, tcfg: TrainConfig,
     if tcfg.triplet_kind != "batch_all":
         parts.append(tcfg.triplet_kind)
     return "_".join(parts)
+
+
+def _sprite_thumbnails(ds: GaitDataset, modality: str, idx: np.ndarray,
+                       cap: int = 256):
+    """Middle-frame thumbnails of the first modality for the projector
+    sprite sheet (mj_register_embedding + mj_save_sprite,
+    /root/reference/nets/mj_utils.py:95-131). Capped — the sprite is a
+    debugging visual, not worth unbounded IO on big val sets."""
+    store = ds.modalities.get(modality)
+    if store is None or len(idx) > cap:
+        return None
+    c = store.channels
+    vols = np.asarray(store.volumes[np.asarray(idx)], np.float32)
+    t_mid = (vols.shape[1] // c) // 2
+    return [vols[i, t_mid * c] for i in range(len(idx))]
 
 
 class Trainer:
@@ -74,8 +89,30 @@ class Trainer:
                 self.model, self.tx, mcfg, tcfg, mesh)
         else:
             self.step_fn = make_train_step(self.model, self.tx, mcfg, tcfg)
+        self.eval_step = make_eval_step(self.model, mcfg, tcfg)
         self.logger = MetricsLogger(experdir, use_tensorboard)
         self.modalities = tuple(b.modality for b in mcfg.branches)
+
+    # ------------------------------------------------------------------
+    def _controller_path(self) -> str:
+        return os.path.join(self.experdir, "controller.json")
+
+    def _load_controller_state(self):
+        import json
+        try:
+            with open(self._controller_path()) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _save_controller_state(self, plateau: ReduceLROnPlateau,
+                               best_monitor: float) -> None:
+        import json
+        rec = {"plateau_best": float(plateau.best),
+               "plateau_wait": int(plateau.wait),
+               "best_monitor": float(best_monitor)}
+        with open(self._controller_path(), "w") as f:
+            json.dump(rec, f)
 
     # ------------------------------------------------------------------
     def init_or_resume(self, seed: int = 0) -> Tuple[TrainState, int]:
@@ -119,6 +156,31 @@ class Trainer:
                 agg[k] = agg.get(k, 0.0) + float(v)
         return state, {k: v / nsteps for k, v in agg.items()}
 
+    def _val_metrics(self, state: TrainState, val_pipe: GaitPipeline
+                     ) -> Dict[str, float]:
+        """Averaged eval-step metrics (incl. the full training objective as
+        val loss) over the validation view — the reference's per-chunk
+        model.evaluate on the validation generator, whose val_loss drives
+        ReduceLROnPlateau (mains/mj_trainUWYHGaitNet_DataGen_1mod.py:245-248).
+
+        The val view is shuffled once with a fixed seed, then walked in
+        fixed-size batches, so the metric is comparable across chunks and
+        reuses one compiled executable."""
+        n = len(val_pipe.indices)
+        bs = min(n, self.dcfg.batch_size)
+        order = np.random.RandomState(1234).permutation(n)
+        nb = max(1, n // bs)
+        key = jax.random.PRNGKey(0)
+        agg: Dict[str, float] = {}
+        for i in range(nb):
+            bidx = order[i * bs:(i + 1) * bs]
+            vols, flags, labels = val_pipe.load(bidx, key, expand=1)
+            metrics = self.eval_step(
+                state.params, Batch(tuple(vols), tuple(flags), labels))
+            for k, v in metrics.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+        return {k: v / nb for k, v in agg.items()}
+
     def _validate(self, state: TrainState, ds: GaitDataset,
                   val_idx: np.ndarray, epoch: int = 0) -> Dict[str, float]:
         codes, labels, _, _ = encode_dataset(
@@ -127,7 +189,9 @@ class Trainer:
         # projector export + first-conv filter images, like the TUM mains'
         # per-chunk visual logging (mains/..._1mod.py:553-612)
         try:
-            self.logger.export_embeddings(epoch, codes, labels)
+            self.logger.export_embeddings(
+                epoch, codes, labels,
+                images=_sprite_thumbnails(ds, self.modalities[0], val_idx))
             from ugaitnet_tpu.utils.net_utils import save_filter_grid
             p = state.params["params"]
             bkey = f"branch_{self.modalities[0]}"
@@ -154,8 +218,22 @@ class Trainer:
                                       dcfg.batch_size, dcfg.repetitions,
                                       seed=seed)
         state, epoch = self.init_or_resume(seed)
-        plateau = ReduceLROnPlateau(lr=tcfg.lr, factor=0.1, patience=3,
+        val_pipe = None
+        if len(val_idx) > 0:
+            import dataclasses
+            val_pipe = GaitPipeline(
+                ds, dataclasses.replace(dcfg, augment=False),
+                self.modalities, labmap=labmap, indices=val_idx,
+                norm_stats=self.norm_stats)
+        # plateau starts from the *resumed* lr (not tcfg.lr) and reloads its
+        # best/wait counters, so a restart never un-does prior LR reductions
+        plateau = ReduceLROnPlateau(lr=get_lr(state), factor=0.1, patience=3,
                                     min_lr=tcfg.lr * 1e-3)
+        cstate = self._load_controller_state()
+        if cstate:
+            plateau.best = cstate.get("plateau_best", plateau.best)
+            plateau.wait = cstate.get("plateau_wait", plateau.wait)
+        best_monitor = (cstate or {}).get("best_monitor", np.inf)
         early = EarlyStopOnAccuracy(0.99)
 
         while epoch < tcfg.epochs:
@@ -165,13 +243,23 @@ class Trainer:
             self.logger.log(epoch, m, prefix="train/")
             if epoch % tcfg.save_every_epochs == 0 or epoch == tcfg.epochs:
                 ckpt.save_checkpoint(self.experdir, epoch, state)
-                if len(val_idx) > 0:
-                    vm = self._validate(state, ds, val_idx, epoch)
+                # plateau monitors val loss like the reference's
+                # ReduceLROnPlateau(monitor='val_loss') — train loss is the
+                # fallback only when there is no validation split
+                monitored = m.get("loss", 0.0)
+                if val_pipe is not None:
+                    vm = self._val_metrics(state, val_pipe)
+                    vm.update(self._validate(state, ds, val_idx, epoch))
                     self.logger.log(epoch, vm, prefix="val/")
-                new_lr = plateau.update(m.get("loss", 0.0))
+                    monitored = vm.get("loss", monitored)
+                if monitored < best_monitor:
+                    best_monitor = monitored
+                    ckpt.save_checkpoint(self.experdir, "best", state)
+                new_lr = plateau.update(monitored)
                 if not np.isclose(new_lr, get_lr(state), rtol=1e-5):
                     state = set_lr(state, new_lr)
                     print(f"* lr -> {new_lr:g}", flush=True)
+                self._save_controller_state(plateau, best_monitor)
             if "acc" in m and early.update(m["acc"]):
                 print(f"* early stop at epoch {epoch} (train acc "
                       f"{m['acc']:.3f})", flush=True)

@@ -26,8 +26,6 @@ def freeze_mask(params: Any, predicate: Callable[[str], bool]) -> Any:
     predicate receives a '/'-joined parameter path like
     'params/branch_of/a_conv1/kernel'.
     """
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-
     def path_str(p):
         parts = []
         for e in p:
@@ -35,16 +33,12 @@ def freeze_mask(params: Any, predicate: Callable[[str], bool]) -> Any:
                                                        getattr(e, "idx", e)))))
         return "/".join(parts)
 
-    labels = {}
-    paths = [path_str(p) for p, _ in flat]
-    it = iter(paths)
-
-    def build(tree):
-        if isinstance(tree, dict):
-            return {k: build(v) for k, v in tree.items()}
-        return "frozen" if predicate(next(it)) else "trainable"
-
-    return build(params)
+    # Labels must be derived from each leaf's own path: zipping a flattened
+    # path list against a hand-rolled recursion mislabels leaves whenever
+    # dict insertion order differs from tree_flatten's sorted key order.
+    return jax.tree_util.tree_map_with_path(
+        lambda p, _: "frozen" if predicate(path_str(p)) else "trainable",
+        params)
 
 
 def frozen_optimizer(tx: optax.GradientTransformation, params: Any,
