@@ -74,6 +74,60 @@ def test_joint_training_semi_hard_focal():
     assert np.isfinite(float(m["loss"]))
 
 
+def test_grouped_sampler_buildgaits_joint_structure():
+    """buildGaits=[0,1,2,0,4,5] on the real joint structure (each subject
+    has records only for its own dataset's gait codes): the merged group's
+    two members (TUM 'n' / CASIA 'nm' after the +3 offset) must stay within
+    one record of each other in every batch — the reference loop balances
+    group members against each other
+    (mj_dataGeneratorMMUWYHBothDatasets.py:80-83,133-170; used as
+    [0,1,2,0,4,5] in mains/..._BothDatasets.py:875)."""
+    _, _, j = _joint()
+    ugait = np.unique(j.gaits)
+    assert len(ugait) == 6
+    s = BalancedGaitSampler(j.labels, j.gaits, batch_size=40, repetition=2,
+                            seed=0, gait_groups=(0, 1, 2, 0, 4, 5))
+    for _ in range(4):
+        idx = s.next_batch()
+        assert len(idx) == 40
+        gaits = j.gaits[idx]
+        c_g0 = int((gaits == ugait[0]).sum())
+        c_g3 = int((gaits == ugait[3]).sum())
+        assert abs(c_g0 - c_g3) <= 1, (c_g0, c_g3)
+        # every gait still represented
+        assert len(np.unique(gaits)) == 6
+
+
+def test_grouped_sampler_dense_structure_merges_slots():
+    """When every subject has records for all gait codes, the group check
+    (sum of member counts vs the round counter) bites: merged gaits share
+    ONE slot per round, so groups — not raw gaits — come out balanced."""
+    labels = np.repeat(np.arange(4), 30)
+    gaits = np.tile(np.repeat(np.arange(6), 5), 4)
+    groups = (0, 1, 2, 0, 4, 5)
+    s = BalancedGaitSampler(labels, gaits, batch_size=40, repetition=2,
+                            seed=0, gait_groups=groups)
+    idx = s.next_batch()
+    g = gaits[idx]
+    gcounts = {grp: 0 for grp in set(groups)}
+    for x in g:
+        gcounts[groups[int(x)]] += 1
+    for grp, c in gcounts.items():
+        assert abs(c - 8) <= 1, gcounts
+    c0, c3 = int((g == 0).sum()), int((g == 3).sum())
+    assert c0 + c3 == gcounts[0] and abs(c0 - c3) <= 1
+
+
+def test_grouped_sampler_rejects_bad_length():
+    _, _, j = _joint()
+    try:
+        BalancedGaitSampler(j.labels, j.gaits, batch_size=8,
+                            gait_groups=(0, 1, 2))
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
 def test_pair_verification_training():
     ds = make_synthetic_dataset(num_subjects=4, seed=0)
     mcfg = ModelConfig(

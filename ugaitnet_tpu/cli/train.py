@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--extraepochs", type=int, default=0)
     p.add_argument("--savemodelfreq", type=int, default=5)
     p.add_argument("--repetitions", type=int, default=5)
+    p.add_argument("--buildgaits", type=str, default="",
+                   help="comma-separated gait-group ids, one per sorted "
+                        "unique gait code; equal ids share one balanced "
+                        "sampling slot (BothDatasets joint regime, e.g. "
+                        "'0,1,2,0,4,5' merges TUM n with CASIA nm)")
     p.add_argument("--expandlevel", type=int, default=3)
     p.add_argument("--noaugment", action="store_true")
     p.add_argument("--valperc", type=float, default=0.08)
@@ -84,6 +89,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bfloat16 compute (params stay fp32)")
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--initnet", type=str, default="",
+                   help="warm-start the WHOLE net from a prior experiment "
+                        "dir (or Keras h5); classifier head kept fresh when "
+                        "nclasses differs (reference --initnet)")
+    p.add_argument("--initbranch", type=str, action="append", default=[],
+                   help="per-branch warm start: mod=path or mod=path@srcmod "
+                        "(repeatable). mod=path@of reproduces the "
+                        "reference's gray-from-OF gaitset init quirk "
+                        "(mj_uwyhNets_ba.py:765)")
+    p.add_argument("--initepoch", type=str, default="-1",
+                   help="checkpoint epoch for --initnet/--initbranch "
+                        "(-1 latest, or 'best')")
     return p
 
 
@@ -108,7 +125,11 @@ def configs_from_args(args):
         compute_dtype="bfloat16" if args.bf16 else "float32")
     dcfg = DataConfig(batch_size=args.bs, expand_level=args.expandlevel,
                       repetitions=args.repetitions,
-                      augment=not args.noaugment)
+                      augment=not args.noaugment,
+                      gait_groups=(tuple(
+                          int(x) for x in args.buildgaits.replace(
+                              ",", " ").split())
+                          if args.buildgaits else None))
     tcfg = TrainConfig(
         optimizer=args.optimizer, lr=args.lr, epochs=args.epochs,
         extra_epochs=args.extraepochs, margin=args.margin,
@@ -166,9 +187,25 @@ def main(argv=None):
             norm_stats[b.modality] = (np.stack([s[0] for s in stats]),
                                       np.stack([s[1] for s in stats]))
 
+    warm_start = None
+    if args.initnet or args.initbranch:
+        from ugaitnet_tpu.utils.warm_start import (
+            parse_initbranch_specs, warm_start_branches, warm_start_full)
+        epoch = args.initepoch if args.initepoch == "best" \
+            else int(args.initepoch)
+        mods = tuple(b.modality for b in mcfg.branches)
+        specs = parse_initbranch_specs(args.initbranch, mods)
+
+        def warm_start(params, _e=epoch, _specs=specs, _full=args.initnet):
+            if _full:
+                params = warm_start_full(params, _full, _e)
+            if _specs:
+                params = warm_start_branches(params, _specs, _e)
+            return params
+
     trainer = Trainer(mcfg, dcfg, tcfg, experdir,
                       use_tensorboard=args.tensorboard, mesh=mesh,
-                      norm_stats=norm_stats)
+                      norm_stats=norm_stats, warm_start=warm_start)
     trainer.fit(ds, val_perc=args.valperc, seed=args.seed)
     print("* training done", flush=True)
     return experdir

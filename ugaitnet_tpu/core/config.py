@@ -157,6 +157,12 @@ class DataConfig:
     of_clip_min: float = 50.0
     # Value filled into disabled-modality inputs (reference self.noise = 1e-9).
     noise: float = 1e-9
+    # buildGaits remap for the joint (BothDatasets) regime: one group id per
+    # *sorted unique* gait code; gaits sharing a group id are balanced as ONE
+    # sampling slot per round (e.g. (0,1,2,0,4,5) merges TUM "n" with CASIA
+    # "nm"; mj_dataGeneratorMMUWYHBothDatasets.py:80-83,139, used at
+    # mains/mj_trainUWYHGaitNet_DataGen_2mod_BothDatasets.py:875-882).
+    gait_groups: Optional[Tuple[int, ...]] = None
 
 
 @dataclass(frozen=True)

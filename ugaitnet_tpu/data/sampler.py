@@ -32,7 +32,8 @@ class BalancedGaitSampler:
 
     def __init__(self, labels: np.ndarray, gaits: np.ndarray,
                  batch_size: int, repetition: int = 5, shuffle: bool = True,
-                 seed: int = 0):
+                 seed: int = 0,
+                 gait_groups: Optional[Sequence[int]] = None):
         self.labels = np.asarray(labels)
         self.gaits = np.asarray(gaits)
         self.batch_size = batch_size
@@ -41,6 +42,16 @@ class BalancedGaitSampler:
         self.rng = np.random.RandomState(seed)
 
         self.ugait = np.unique(self.gaits)
+        # buildGaits remap (BothDatasets joint regime): group ids aligned
+        # with the sorted unique gait codes; members of one group share a
+        # single balanced slot per sampling round
+        # (mj_dataGeneratorMMUWYHBothDatasets.py:80-83,133-170).
+        if gait_groups is not None and len(gait_groups) != len(self.ugait):
+            raise ValueError(
+                f"gait_groups has {len(gait_groups)} entries but the data "
+                f"has {len(self.ugait)} unique gait codes {self.ugait}")
+        self.gait_groups = (None if gait_groups is None
+                            else np.asarray(gait_groups))
         self.ulabs = np.unique(self.labels)
         # per-(gait, subject) record index lists
         self.gait2idx: Dict[int, Dict[int, np.ndarray]] = {}
@@ -63,6 +74,8 @@ class BalancedGaitSampler:
             self.rng.shuffle(self.ulabs)
 
     def next_batch(self) -> np.ndarray:
+        if self.gait_groups is not None:
+            return self._next_batch_grouped()
         out: List[int] = []
         while len(out) < self.batch_size:
             for g in self.ugait:
@@ -85,6 +98,66 @@ class BalancedGaitSampler:
                         self.nextlab_idx += 1
                         if self.nextlab_idx >= len(self.ulabs):
                             self.nextlab_idx = 0
+        return np.asarray(out, dtype=np.int64)
+
+    def _next_batch_grouped(self) -> np.ndarray:
+        """Faithful port of the BothDatasets batch loop with buildGaits
+        groups (mj_dataGeneratorMMUWYHBothDatasets.py:128-182): round-robin
+        over gait positions; positions sharing a group id are balanced
+        against each other (the member with the smaller count goes first,
+        and when the group has kept pace with the rounds it is skipped).
+        On the joint regime's label structure — each subject has records
+        for only its own dataset's gait codes — empty (gait,label) cells
+        stall the position while the round counter keeps advancing (the
+        reference increments global_count on every pass through position
+        0, including stalls), so the net effect is that merged gaits stay
+        within one record of each other in every batch. The label cursor
+        advances every 2 uses, the BothDatasets generator's fixed cadence
+        (:170-180; that generator family has no `repetitions`)."""
+        groups = self.gait_groups
+        ng = len(self.ugait)
+        out: List[int] = []
+        count = np.zeros(ng)
+        global_rounds = 0
+        ind_g = 0
+        guard = 0
+        while len(out) < self.batch_size:
+            guard += 1
+            if guard > 1000 * self.batch_size:
+                raise RuntimeError(
+                    "grouped sampler made no progress; check gait_groups "
+                    "against the data's gait codes")
+            if ind_g == 0:
+                global_rounds += 1
+            members = np.where(groups == groups[ind_g])[0]
+            if len(members) > 1:
+                if count[members].sum() < global_rounds:
+                    others = members[members != ind_g]
+                    if np.any(count[ind_g] > count[others]):
+                        ind_g = (ind_g + 1) % ng
+                        continue
+                else:  # group already filled this round
+                    ind_g = (ind_g + 1) % ng
+                    continue
+            g = int(self.ugait[ind_g])
+            lab = int(self.ulabs[self.nextlab_idx])
+            recs = self.gait2idx[g][lab]
+            if len(recs) > 0:
+                out.append(int(recs[self.gait2ptr[g][lab]]))
+                count[ind_g] += 1
+                # ind_g advances only after a successful append; on an empty
+                # (gait,label) cell the reference retries the same gait with
+                # the label cursor moving on (:166-168)
+                ind_g = (ind_g + 1) % ng
+            self.gait2ptr[g][lab] += 1
+            if self.gait2ptr[g][lab] >= max(len(recs), 1):
+                self.gait2ptr[g][lab] = 0
+            self._used += 1
+            if self._used >= 2:
+                self._used = 0
+                self.nextlab_idx += 1
+                if self.nextlab_idx >= len(self.ulabs):
+                    self.nextlab_idx = 0
         return np.asarray(out, dtype=np.int64)
 
     def epoch(self) -> Iterator[np.ndarray]:

@@ -73,7 +73,10 @@ def _sprite_thumbnails(ds: GaitDataset, modality: str, idx: np.ndarray,
 class Trainer:
     def __init__(self, mcfg: ModelConfig, dcfg: DataConfig, tcfg: TrainConfig,
                  experdir: str, use_tensorboard: bool = False,
-                 mesh=None, norm_stats=None):
+                 mesh=None, norm_stats=None, warm_start=None):
+        # warm_start: optional params->params callable applied once at a
+        # fresh start (never on resume) — the --initnet / --initbranch path
+        self.warm_start = warm_start
         self.norm_stats = norm_stats
         self.mcfg, self.dcfg, self.tcfg = mcfg, dcfg, tcfg
         self.experdir = experdir
@@ -123,6 +126,10 @@ class Trainer:
             state = ckpt.restore_checkpoint(self.experdir, last, state)
             start_epoch = int(last)
             print(f"* resumed from epoch {start_epoch}", flush=True)
+        elif self.warm_start is not None:
+            state = state.replace(params=self.warm_start(state.params))
+            print("* warm-started params (--initnet/--initbranch)",
+                  flush=True)
         if self.mesh is not None:
             from ugaitnet_tpu.parallel.sharding import replicate
             state = replicate(state, self.mesh)
@@ -216,7 +223,8 @@ class Trainer:
                             indices=tr_idx, norm_stats=self.norm_stats)
         sampler = BalancedGaitSampler(ds.labels[tr_idx], ds.gaits[tr_idx],
                                       dcfg.batch_size, dcfg.repetitions,
-                                      seed=seed)
+                                      seed=seed,
+                                      gait_groups=dcfg.gait_groups)
         state, epoch = self.init_or_resume(seed)
         val_pipe = None
         if len(val_idx) > 0:
@@ -280,7 +288,8 @@ class Trainer:
                                      norm_stats=self.norm_stats)
             full_sampler = BalancedGaitSampler(ds.labels, ds.gaits,
                                                dcfg.batch_size,
-                                               dcfg.repetitions, seed=seed)
+                                               dcfg.repetitions, seed=seed,
+                                               gait_groups=dcfg.gait_groups)
             target = tcfg.epochs + tcfg.extra_epochs
             while epoch < target:
                 state, m = self._epoch(state, full_pipe, full_sampler,

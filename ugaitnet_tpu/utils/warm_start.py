@@ -1,0 +1,140 @@
+"""Warm-starting networks from prior experiments (reference --initnet /
+init_branches).
+
+Two reference mechanisms re-derived here:
+
+  * full-net init with classifier-head surgery — `build_or_load(initnet=...)`
+    loads a whole prior model and rebuilds the classprob head when nclasses
+    differs (/root/reference/nets/mj_uwyhNets_ba.py:582-632).
+  * per-branch init — every net builder accepts pretrained per-branch
+    weights (`init_branches`, fc_loadBranch,
+    /root/reference/nets/mj_uwyhNets_ba.py:57-62,419-424), including the
+    quirk that the 2-mod gaitset *gray* branch is built under the name
+    "ofBranch" with the OF init (:765) — exposed here as an explicit
+    source-modality remap rather than silently.
+
+Sources may be a prior experiment dir of this framework (config.json +
+ckpt/) or a reference-trained Keras .h5/.hdf5 file (utils/keras_import).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+def _merge_matching(target: Any, source: Any) -> Any:
+    """Walk two nested dict trees by key, taking source leaves wherever the
+    shapes match (load_weights(by_name=True, skip_mismatch=True) parity)."""
+    if isinstance(target, dict):
+        return {k: (_merge_matching(v, source.get(k))
+                    if isinstance(source, dict) else v)
+                for k, v in target.items()}
+    if source is None:
+        return target
+    try:
+        s = np.asarray(source)
+        t = np.asarray(target)
+        if s.shape == t.shape:
+            return s.astype(t.dtype)
+    except Exception:
+        pass
+    return target
+
+
+def _count_leaves(tree: Any) -> int:
+    if isinstance(tree, dict):
+        return sum(_count_leaves(v) for v in tree.values())
+    return 1
+
+
+def load_source_params(path: str, epoch=-1,
+                       target_params: Optional[Any] = None) -> Any:
+    """Load a parameter tree from an experiment dir or a Keras h5 file.
+
+    Experiment dirs restore the raw checkpoint pytree (no target needed);
+    Keras files need `target_params` to know the destination layout.
+    """
+    if path.endswith((".h5", ".hdf5")):
+        if target_params is None:
+            raise ValueError("Keras h5 warm start needs target params")
+        from ugaitnet_tpu.utils.keras_import import load_gaitset_2mod_weights
+        return load_gaitset_2mod_weights(path, target_params)
+
+    from ugaitnet_tpu.core import checkpoint as ckpt
+    step = epoch
+    if epoch == -1 or epoch is None:
+        step = ckpt.latest_checkpoint_step(path)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {path}")
+    import orbax.checkpoint as ocp
+    cpath = os.path.join(os.path.abspath(path), "ckpt",
+                         "best" if step == "best" else str(int(step)))
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(cpath)
+    # Trainer checkpoints store a TrainState pytree (step/params/opt_state);
+    # a bare params tree may also have a top-level "params" key (flax), so
+    # detect the TrainState by its sibling keys.
+    if isinstance(restored, dict) and {"step", "params",
+                                       "opt_state"} <= set(restored):
+        return restored["params"]
+    return restored
+
+
+def warm_start_full(params: Any, initnet: str, epoch=-1) -> Any:
+    """Reference --initnet: initialize the whole net from a prior model,
+    keeping the fresh head wherever shapes mismatch (nclasses surgery,
+    mj_uwyhNets_ba.py:610-632)."""
+    src = load_source_params(initnet, epoch, target_params=params)
+    out = _merge_matching(params, src)
+    return out
+
+
+def warm_start_branches(params: Any, sources: Dict[str, Tuple[str, str]],
+                        epoch=-1) -> Any:
+    """Reference init_branches: per-branch warm start.
+
+    sources: {dst_modality: (path, src_modality)} — e.g.
+    {"gray": ("/exp/of_single", "of")} reproduces the :765 gray-from-OF
+    quirk explicitly.
+    """
+    tree = params["params"] if "params" in params else params
+    new_tree = dict(tree)
+    loaded: Dict[str, Any] = {}
+    for dst, (path, src_mod) in sources.items():
+        if path not in loaded:
+            loaded[path] = load_source_params(path, epoch,
+                                              target_params=params)
+        src = loaded[path]
+        src_tree = src["params"] if "params" in src else src
+        skey, dkey = f"branch_{src_mod}", f"branch_{dst}"
+        if skey not in src_tree:
+            raise KeyError(
+                f"source {path} has no '{skey}' subtree "
+                f"(has {sorted(src_tree)})")
+        if dkey not in tree:
+            raise KeyError(f"target net has no '{dkey}' branch")
+        merged = _merge_matching(tree[dkey], src_tree[skey])
+        new_tree[dkey] = merged
+    if "params" in params:
+        return dict(params, params=new_tree)
+    return new_tree
+
+
+def parse_initbranch_specs(specs, modalities) -> Dict[str, Tuple[str, str]]:
+    """CLI parsing: each spec is 'mod=path' or 'mod=path@srcmod'."""
+    out: Dict[str, Tuple[str, str]] = {}
+    for s in specs or []:
+        if "=" not in s:
+            raise ValueError(f"--initbranch expects mod=path, got {s!r}")
+        dst, path = s.split("=", 1)
+        src = dst
+        if "@" in path:
+            path, src = path.rsplit("@", 1)
+        if dst not in modalities:
+            raise ValueError(
+                f"--initbranch modality {dst!r} not in net ({modalities})")
+        out[dst] = (path, src)
+    return out
