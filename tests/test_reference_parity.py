@@ -328,3 +328,178 @@ def test_affine_matches_keras():
                                         tx, ty, zx, zy))[0, :, :, 0]
         np.testing.assert_allclose(mine, ref, atol=2e-5,
                                    err_msg=f"params {(tx, ty, zx, zy)}")
+
+
+def _ref_env():
+    os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
+    pytest.importorskip("tensorflow")
+    pytest.importorskip("tf_keras")
+    _stub_tfa()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+
+
+def _randomize(model, seed):
+    rng = np.random.RandomState(seed)
+    for l in model.layers:
+        if l.get_weights():
+            l.set_weights([rng.randn(*w.shape).astype(np.float32) * 0.05
+                           for w in l.get_weights()])
+    return rng
+
+
+def test_h5_import_conv2d_2mod(tmp_path):
+    """h5 round-trip for the conv2d (LeakyReLU Sequential-branch) family:
+    save the actual reference net's weights, import with load_keras_weights,
+    identical signatures (UWYHNet.buildBranchLReLU inside UWYHSemiNet.build,
+    mj_uwyhNets_ba.py:668-935)."""
+    _ref_env()
+    from nets.mj_uwyhNets_ba import UWYHSemiNet
+    from tensorflow.keras.layers import Maximum
+    from tensorflow.keras import optimizers
+
+    ref = UWYHSemiNet.build(
+        input_shapes=[(50, 60, 60), (25, 60, 60)],
+        number_convolutional_layers=4, filters_size=[7, 5, 3, 2],
+        filters_numbers=[16, 16, 32, 32], ndense_units=64,
+        weight_decay=1e-4, dropout=[0.4, 0.4],
+        optimizer=optimizers.SGD(0.01), margin=0.2, nclasses=0,
+        loss_weights=[1.0, 0.1], fMerge=Maximum, fActivation="leaky",
+        gaitset=False, use3D=False)
+    rng = _randomize(ref, 11)
+    h5path = str(tmp_path / "conv2d_weights.hdf5")
+    ref.save_weights(h5path)
+
+    import jax
+    import jax.numpy as jnp
+    from ugaitnet_tpu.core.config import BranchConfig, ModelConfig
+    from ugaitnet_tpu.models.network import UGaitNet, init_params
+    from ugaitnet_tpu.utils.keras_import import load_keras_weights
+
+    mcfg = ModelConfig(
+        branches=(BranchConfig(kind="conv2d", modality="of",
+                               filters_numbers=(16, 16, 32, 32),
+                               filters_size=(7, 5, 3, 2), ndense_units=64,
+                               activation="leaky"),
+                  BranchConfig(kind="conv2d", modality="gray",
+                               filters_numbers=(16, 16, 32, 32),
+                               filters_size=(7, 5, 3, 2), ndense_units=64,
+                               activation="leaky")),
+        merge="max", nclasses=0, l2_mode="reference")
+    model = UGaitNet(mcfg)
+    params = load_keras_weights(
+        h5path, init_params(model, jax.random.PRNGKey(0), batch=2))
+
+    B = 3
+    of = (rng.randn(B, 25, 60, 60, 2) * 0.3).astype(np.float32)
+    gray = (rng.randn(B, 25, 60, 60, 1) * 0.3).astype(np.float32)
+    # reference eats channels-first plane volumes: (T,H,W,C)->(T*C,H,W)
+    of_cf = np.moveaxis(of, -1, -3).reshape(B, 50, 60, 60)
+    gray_cf = np.moveaxis(gray, -1, -3).reshape(B, 25, 60, 60)
+    uof = np.array([1, 1, 0], np.float32).reshape(B, 1)
+    ugray = np.array([1, 0, 1], np.float32).reshape(B, 1)
+    sig_ref = ref.predict([of_cf, uof, gray_cf, ugray], verbose=0)
+
+    out = model.apply(params, [jnp.asarray(of), jnp.asarray(gray)],
+                      [jnp.asarray(uof[:, 0]), jnp.asarray(ugray[:, 0])],
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["signature"]), sig_ref,
+                               atol=2e-4)
+
+
+def test_h5_import_conv3d_2mod(tmp_path):
+    """h5 round-trip for the conv3d family (build_3Dbranch Sequentials,
+    mj_uwyhNets_ba.py:330-370): direct layout copy, identical signatures."""
+    _ref_env()
+    from nets.mj_uwyhNets_ba import UWYHSemiNet
+    from tensorflow.keras.layers import Maximum
+    from tensorflow.keras import optimizers
+
+    ref = UWYHSemiNet.build(
+        input_shapes=[(25, 60, 60, 1), (25, 60, 60, 1)],
+        number_convolutional_layers=4, filters_size=[7, 5, 3, 2],
+        filters_numbers=[16, 16, 32, 32], ndense_units=32,
+        weight_decay=1e-4, dropout=[0.4, 0.4],
+        optimizer=optimizers.SGD(0.01), margin=0.2, nclasses=0,
+        loss_weights=[1.0, 0.1], fMerge=Maximum, fActivation="relu",
+        gaitset=False, use3D=True)
+    rng = _randomize(ref, 12)
+    h5path = str(tmp_path / "conv3d_weights.hdf5")
+    ref.save_weights(h5path)
+
+    import jax
+    import jax.numpy as jnp
+    from ugaitnet_tpu.core.config import BranchConfig, ModelConfig
+    from ugaitnet_tpu.models.network import UGaitNet, init_params
+    from ugaitnet_tpu.utils.keras_import import load_keras_weights
+
+    # both reference 3D slots take 1-channel volumes: use gray+depth here
+    mcfg = ModelConfig(
+        branches=(BranchConfig(kind="conv3d", modality="gray",
+                               ndense_units=32, activation="relu"),
+                  BranchConfig(kind="conv3d", modality="depth",
+                               ndense_units=32, activation="relu")),
+        merge="max", nclasses=0, l2_mode="reference")
+    model = UGaitNet(mcfg)
+    params = load_keras_weights(
+        h5path, init_params(model, jax.random.PRNGKey(0), batch=2))
+
+    B = 2
+    g = (rng.randn(B, 25, 60, 60, 1) * 0.3).astype(np.float32)
+    d = (rng.randn(B, 25, 60, 60, 1) * 0.3).astype(np.float32)
+    ones = np.ones((B, 1), np.float32)
+    sig_ref = ref.predict([g, ones, d, ones], verbose=0)
+
+    out = model.apply(params, [jnp.asarray(g), jnp.asarray(d)],
+                      [jnp.ones(B), jnp.ones(B)], train=False)
+    np.testing.assert_allclose(np.asarray(out["signature"]), sig_ref,
+                               atol=2e-4)
+
+
+def test_h5_import_gaitset_3mod(tmp_path):
+    """h5 round-trip for the 3-mod gaitset family
+    (UWYHSemiNet3Mods.build(gaitset=True), mj_uwyhNets_ba.py:1100-1151)."""
+    _ref_env()
+    from nets.mj_uwyhNets_ba import UWYHSemiNet3Mods
+    from tensorflow.keras.layers import Maximum
+    from tensorflow.keras import optimizers
+
+    ref = UWYHSemiNet3Mods.build(
+        input_shapes=[(25, 60, 60, 2), (25, 60, 60, 1), (25, 60, 60, 1)],
+        number_convolutional_layers=4, filters_size=[7, 5, 3, 2],
+        filters_numbers=[16, 16, 32, 32], ndense_units=[256],
+        weight_decay=1e-4, dropout=0.4, optimizer=optimizers.SGD(0.01),
+        margin=0.2, nclasses=20, loss_weights=[1.0, 0.1], fMerge=Maximum,
+        fActivation="leaky", gaitset=True)
+    rng = _randomize(ref, 13)
+    h5path = str(tmp_path / "gaitset3_weights.hdf5")
+    ref.save_weights(h5path)
+
+    import jax
+    import jax.numpy as jnp
+    from ugaitnet_tpu.core.config import BranchConfig, ModelConfig
+    from ugaitnet_tpu.models.network import UGaitNet, init_params
+    from ugaitnet_tpu.utils.keras_import import load_keras_weights
+
+    mcfg = ModelConfig(
+        branches=(BranchConfig(kind="gaitset", modality="of"),
+                  BranchConfig(kind="gaitset", modality="gray"),
+                  BranchConfig(kind="gaitset", modality="depth")),
+        merge="max", nclasses=20, l2_mode="reference")
+    model = UGaitNet(mcfg)
+    params = load_keras_weights(
+        h5path, init_params(model, jax.random.PRNGKey(0), batch=2))
+
+    B = 2
+    of = (rng.randn(B, 25, 60, 60, 2) * 0.3).astype(np.float32)
+    g = (rng.randn(B, 25, 60, 60, 1) * 0.3).astype(np.float32)
+    d = (rng.randn(B, 25, 60, 60, 1) * 0.3).astype(np.float32)
+    ones = np.ones((B, 1), np.float32)
+    pred = ref.predict([of, ones, g, ones, d, ones], verbose=0)
+    sig_ref = pred[0]
+
+    out = model.apply(params,
+                      [jnp.asarray(of), jnp.asarray(g), jnp.asarray(d)],
+                      [jnp.ones(B)] * 3, train=False)
+    sig_mine = np.transpose(np.asarray(out["signature"]), (1, 0, 2))
+    np.testing.assert_allclose(sig_mine, sig_ref, atol=1.5e-3)

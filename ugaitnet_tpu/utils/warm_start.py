@@ -60,8 +60,8 @@ def load_source_params(path: str, epoch=-1,
     if path.endswith((".h5", ".hdf5")):
         if target_params is None:
             raise ValueError("Keras h5 warm start needs target params")
-        from ugaitnet_tpu.utils.keras_import import load_gaitset_2mod_weights
-        return load_gaitset_2mod_weights(path, target_params)
+        from ugaitnet_tpu.utils.keras_import import load_keras_weights
+        return load_keras_weights(path, target_params)
 
     from ugaitnet_tpu.core import checkpoint as ckpt
     step = epoch
