@@ -180,7 +180,7 @@ class TrainConfig:
     only_triplet: bool = False
     # semi-hard triplet instead of batch-all (BothDatasets regime,
     # /root/reference/nets/mj_uwyhNets_bothDatasets.py:696,715).
-    triplet_kind: str = "batch_all"  # batch_all | semi_hard | hard
+    triplet_kind: str = "batch_all"  # batch_all (pallas on tpu) | batch_all_xla | batch_all_pallas | semi_hard | hard
     save_every_epochs: int = 5
     seed: int = 0
     # Sharding: data-parallel axis size 0 = use all devices.

@@ -3,10 +3,16 @@
 The XLA formulation (ops/triplet.py) materializes a (chunk, B, B, B) triplet
 tensor in HBM per part-chunk; this kernel keeps everything in VMEM: one grid
 program per part computes the pairwise-distance matrix with an MXU matmul
-and reduces the masked triplet hinge on the fly (fori over 8-anchor blocks,
-each block's distance/mask rows extracted with an exact one-hot selection
-matmul), writing back only a per-part (sum, count) pair — O(P*B*D) HBM
-traffic instead of O(P*B^3).
+and reduces the masked triplet hinge on the fly over statically-unrolled
+anchor blocks, writing back only a per-part (sum, count) pair — O(P*B*D)
+HBM traffic instead of O(P*B^3).
+
+Each anchor block's (A, B, B) triplet tensor is laid out 2D — rows (a, k),
+lanes j (_block_2d) — because mosaic relayouts lane-resident vectors badly
+when broadcast along a new minor dim (the rank-3 d_a[:, :, None] form cost
+~2x vs XLA).  With that layout the kernel's fwd+grad beats the chunked XLA
+path at the flagship (62, 120, 256) on v5e (~2.1 vs ~2.3 ms), and it is
+the TPU training default (ops/triplet.py:make_triplet_loss).
 
 Backward is a second kernel with the analytic gradient:
   t[i,j,k] = margin + d[i,j] - d[i,k],  active = valid & t > 0
@@ -53,20 +59,36 @@ def _dist_and_masks(emb, labels, bp):
     return dist, same, diff
 
 
-ANCHOR_BLOCK = 8
+ANCHOR_BLOCK = 32      # fwd block
+BWD_BLOCK = 16         # bwd keeps more live values; smaller block fits vmem
 
 
-def _select_rows(mat, i0, bp):
-    """Rows i0..i0+A of a (B, B) matrix via a one-hot selection matmul —
-    mosaic has no dynamic_slice on values, and an MXU (A, B) x (B, B)
-    matmul is far cheaper than A masked full-matrix reductions."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (ANCHOR_BLOCK, bp), 1)
-    anchors = i0 + jax.lax.broadcasted_iota(jnp.int32, (ANCHOR_BLOCK, bp), 0)
-    sel = (rows == anchors).astype(jnp.float32)
-    # HIGHEST precision: the MXU's default bf16 passes would round the
-    # selected values (one-hot selection must be exact).
-    return jnp.dot(sel, mat, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+def _k_onehot(a: int, bp: int):
+    """K1[(a,k), m] = 1.0 iff m == k — constant, hoisted out of the block
+    loop by the compiler."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (a * bp, bp), 1)
+    row_k = jax.lax.broadcasted_iota(jnp.int32, (a * bp, bp), 0) % bp
+    return (lane == row_k).astype(jnp.float32)
+
+
+def _block_2d(d_a, pos, neg, margin, bp, k1):
+    """The (A, B, B) triplet tensor of one anchor block laid out 2D:
+    rows (a, k), lanes j.  Mosaic relayouts lane-resident vectors badly
+    when broadcast along a NEW minor dim (the old rank-3 d_a[:, :, None]
+    form cost ~2x vs XLA), and rejects (A, B)->(A*B, 1) reshapes outright
+    (lane->sublane shape cast); the per-row d[a,k] / neg[a,k] columns are
+    instead extracted by a one-hot mask multiply + lane-sum, which stays
+    in the native 2D layout."""
+    a = d_a.shape[0]
+    rep_d = jnp.broadcast_to(d_a[:, None, :], (a, bp, bp)).reshape(a * bp, bp)
+    rep_p = jnp.broadcast_to(pos[:, None, :], (a, bp, bp)).reshape(a * bp, bp)
+    rep_n = jnp.broadcast_to(neg[:, None, :], (a, bp, bp)).reshape(a * bp, bp)
+    col_d = jnp.sum(rep_d * k1, axis=1, keepdims=True)     # d[a,k] per row
+    col_n = jnp.sum(rep_n * k1, axis=1, keepdims=True)     # neg[a,k] per row
+    # t2[(a,k), j] = margin + d[a,j] - d[a,k]
+    t2 = margin + rep_d - col_d
+    act = rep_p * col_n * (t2 > 0.0).astype(jnp.float32)
+    return t2, act
 
 
 def _fwd_kernel(margin_ref, labels_ref, emb_ref, out_ref):
@@ -74,22 +96,20 @@ def _fwd_kernel(margin_ref, labels_ref, emb_ref, out_ref):
     margin = margin_ref[0]
     dist, same, diff = _dist_and_masks(emb_ref[...], labels_ref[...], bp)
 
-    def body(blk, carry):
-        s, c = carry
-        i0 = blk * ANCHOR_BLOCK
-        d_a = _select_rows(dist, i0, bp)                    # (A, B)
-        pos = _select_rows(same, i0, bp)
-        neg = _select_rows(diff, i0, bp)
-        # t[a, j, k] = margin + d[a, j] - d[a, k]
-        t = margin + d_a[:, :, None] - d_a[:, None, :]
-        actf = (pos[:, :, None] * neg[:, None, :]
-                * (t > 0.0).astype(jnp.float32))
-        return s + jnp.sum(t * actf), c + jnp.sum(actf)
+    k1 = _k_onehot(ANCHOR_BLOCK, bp)
 
-    # bp is padded to a multiple of 8 == ANCHOR_BLOCK; padded anchors have
+    # bp is padded to a multiple of ANCHOR_BLOCK; padded anchors have
     # label -1 and contribute nothing (their pos/neg masks are zero).
-    s, c = jax.lax.fori_loop(0, bp // ANCHOR_BLOCK, body,
-                             (jnp.float32(0.0), jnp.float32(0.0)))
+    # The block count is STATIC (bp/A, e.g. 4 at B=128/A=32), so a python
+    # loop gives static row slices — no one-hot selection matmuls needed.
+    s = jnp.float32(0.0)
+    c = jnp.float32(0.0)
+    for blk in range(bp // ANCHOR_BLOCK):
+        i0, i1 = blk * ANCHOR_BLOCK, (blk + 1) * ANCHOR_BLOCK
+        t2, act = _block_2d(dist[i0:i1], same[i0:i1], diff[i0:i1],
+                            margin, bp, k1)
+        s = s + jnp.sum(t2 * act)
+        c = c + jnp.sum(act)
     # (8, 128) output tile per part: row 0 lane 0 = sum, row 1 lane 0 = count
     # (TPU blocked outputs must fill a full (8, 128) fp32 tile).
     rows = jnp.concatenate([jnp.full((1, 128), s, jnp.float32),
@@ -105,27 +125,37 @@ def _bwd_kernel(margin_ref, scale_ref, labels_ref, emb_ref, grad_ref):
     x = emb_ref[...].astype(jnp.float32)
     dist, same, diff = _dist_and_masks(x, labels_ref[...], bp)
 
-    def body(blk, g_dist):
-        i0 = blk * ANCHOR_BLOCK
-        d_a = _select_rows(dist, i0, bp)                    # (A, B)
-        pos = _select_rows(same, i0, bp)
-        neg = _select_rows(diff, i0, bp)
-        t = margin + d_a[:, :, None] - d_a[:, None, :]
-        act = (pos[:, :, None] * neg[:, None, :]
-               * (t > 0.0).astype(jnp.float32))
-        g_rows = jnp.sum(act, axis=2) - jnp.sum(act, axis=1)   # (A, B)
-        # scatter the A rows back: (B, A) selection^T @ (A, B)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (ANCHOR_BLOCK, bp), 1)
-        anchors = (i0 + jax.lax.broadcasted_iota(
-            jnp.int32, (ANCHOR_BLOCK, bp), 0))
-        sel = (rows == anchors).astype(jnp.float32)
-        return g_dist + jnp.dot(sel.T, g_rows,
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
+    # O[a, (a2,k)] = 1 iff a2 == a: block row-sum as one MXU matmul
+    # (summing act over k for fixed (a, j) -- a cross-sublane segmented
+    # reduction the VPU has no cheap form for)
+    o_cols = jax.lax.broadcasted_iota(
+        jnp.int32, (BWD_BLOCK, BWD_BLOCK * bp), 1) // bp
+    o_rows = jax.lax.broadcasted_iota(
+        jnp.int32, (BWD_BLOCK, BWD_BLOCK * bp), 0)
+    o_mat = (o_cols == o_rows).astype(jnp.float32)
 
-    g_dist = jax.lax.fori_loop(
-        0, bp // ANCHOR_BLOCK, body,
-        jnp.zeros((bp, bp), jnp.float32)) * scale
+    k1 = _k_onehot(BWD_BLOCK, bp)
+
+    # static block loop (see _fwd_kernel): rows come from static slices
+    # and the per-block gradient rows concatenate back in order.
+    g_blocks = []
+    for blk in range(bp // BWD_BLOCK):
+        i0, i1 = blk * BWD_BLOCK, (blk + 1) * BWD_BLOCK
+        _, act = _block_2d(dist[i0:i1], same[i0:i1], diff[i0:i1],
+                           margin, bp, k1)                  # ((A*B), B)
+        # g_rows[a, m] = #act(a, j=m, .) - #act(a, ., k=m)
+        term1 = jnp.dot(o_mat, act, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)       # (A, B)
+        # row-sums rs[(a,k)] unflattened to (A, B) without the lane->
+        # sublane reshape mosaic rejects: broadcast rs over lanes, mask to
+        # the k-th lane, and let the block-row one-hot matmul collect them
+        rs = jnp.sum(act, axis=1, keepdims=True)            # ((A*B), 1)
+        term2 = jnp.dot(o_mat, rs * k1,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)       # (A, B)
+        g_blocks.append(term1 - term2)
+
+    g_dist = jnp.concatenate(g_blocks, axis=0) * scale
 
     inv_d = jnp.where(dist > 0.0, 1.0 / jnp.where(dist > 0.0, dist, 1.0),
                       0.0)
