@@ -503,3 +503,105 @@ def test_h5_import_gaitset_3mod(tmp_path):
                       [jnp.ones(B)] * 3, train=False)
     sig_mine = np.transpose(np.asarray(out["signature"]), (1, 0, 2))
     np.testing.assert_allclose(sig_mine, sig_ref, atol=1.5e-3)
+
+
+def test_h5_import_eval_protocol_crosscheck(reference_model, tmp_path):
+    """Trained-checkpoint migration -> eval-protocol cross-check.
+
+    The strongest end-to-end parity evidence short of real data: save the
+    reference model's weights to h5 (as its mains do at every epoch),
+    migrate with utils/keras_import, encode the SAME synthetic gallery +
+    probe clips with BOTH frameworks, and require that each side's kNN
+    (ours: ops/knn.knn_predict + eval/protocol.eval_openset; reference: the
+    numpy equivalent of its sklearn KNeighborsClassifier,
+    mains/mj_testUWYHGaitNet_open_casiab.py:300-346) predicts IDENTICAL
+    per-probe subjects."""
+    ref = reference_model
+    rng = np.random.RandomState(7)
+    for layer in ref.layers:
+        ws = layer.get_weights()
+        if ws:
+            layer.set_weights([rng.randn(*w.shape).astype(np.float32) * 0.05
+                               for w in ws])
+    h5path = str(tmp_path / "model-state-0075_weights.hdf5")
+    ref.save_weights(h5path)
+
+    import jax
+    import jax.numpy as jnp
+    from ugaitnet_tpu.core.config import BranchConfig, ModelConfig
+    from ugaitnet_tpu.eval.protocol import EncodedSet, eval_openset
+    from ugaitnet_tpu.models.network import UGaitNet, init_params
+    from ugaitnet_tpu.ops.knn import knn_predict
+    from ugaitnet_tpu.utils.keras_import import load_gaitset_2mod_weights
+
+    mcfg = ModelConfig(
+        branches=(BranchConfig(kind="gaitset", modality="of"),
+                  BranchConfig(kind="gaitset", modality="gray")),
+        merge="max", nclasses=74, l2_mode="reference")
+    model = UGaitNet(mcfg)
+    params = init_params(model, jax.random.PRNGKey(0), batch=2)
+    params = load_gaitset_2mod_weights(h5path, params)
+
+    # synthetic subjects: per-subject prototype + per-clip noise so the
+    # kNN decision is non-trivial but learnable even by a random encoder
+    nsub, g_per, p_per = 4, 3, 2
+
+    # same prototypes for gallery and probes: seed the prototypes once
+    r0 = np.random.RandomState(11)
+    protos = [(r0.randn(1, 25, 60, 60, 2) * 0.15,
+               r0.randn(1, 25, 60, 60, 1) * 0.15) for _ in range(nsub)]
+
+    def draw(n_each, seed):
+        r = np.random.RandomState(seed)
+        of, gray, labels = [], [], []
+        for s, (pof, pgr) in enumerate(protos):
+            for _ in range(n_each):
+                of.append(pof + r.randn(1, 25, 60, 60, 2) * 0.08)
+                gray.append(pgr + r.randn(1, 25, 60, 60, 1) * 0.08)
+                labels.append(s)
+        return (np.concatenate(of).astype(np.float32),
+                np.concatenate(gray).astype(np.float32),
+                np.asarray(labels))
+
+    g_of, g_gr, g_lab = draw(g_per, 1)
+    p_of, p_gr, p_lab = draw(p_per, 2)
+
+    def ref_codes(of, gray):
+        b = of.shape[0]
+        ones = np.ones((b, 1), np.float32)
+        sig, _ = ref.predict([of, ones, gray, ones], verbose=0)
+        # typecode-3 embedding: flatten of the (parts, B, dim) signature
+        # per sample (mains/mj_testUWYHGaitNet_open_casiab.py:157-166)
+        return sig.transpose(1, 0, 2).reshape(b, -1)
+
+    def my_codes(of, gray):
+        b = of.shape[0]
+        out = model.apply(params, [jnp.asarray(of), jnp.asarray(gray)],
+                          [jnp.ones((b,), jnp.float32),
+                           jnp.ones((b,), jnp.float32)], train=False)
+        return np.asarray(out["flatten"])
+
+    rg, rp = ref_codes(g_of, g_gr), ref_codes(p_of, p_gr)
+    mg, mp = my_codes(g_of, g_gr), my_codes(p_of, p_gr)
+    np.testing.assert_allclose(mg, rg, atol=2e-3)
+    np.testing.assert_allclose(mp, rp, atol=2e-3)
+
+    # reference side: exact nearest neighbor in numpy (sklearn
+    # KNeighborsClassifier(n_neighbors=1) on L2 distances)
+    d2 = ((rp[:, None, :] - rg[None, :, :]) ** 2).sum(-1)
+    ref_pred = g_lab[np.argmin(d2, axis=1)]
+
+    # our side: the protocol's device kNN
+    my_pred = knn_predict(mp, mg, g_lab, k=1)
+    np.testing.assert_array_equal(my_pred, ref_pred)
+
+    # and through the full protocol entry (one video per clip)
+    gal = EncodedSet(codes=mg, labels=g_lab,
+                     video_ids=np.arange(len(g_lab)),
+                     cams=np.zeros(len(g_lab), np.int32))
+    pro = EncodedSet(codes=mp, labels=p_lab,
+                     video_ids=np.arange(len(p_lab)),
+                     cams=np.zeros(len(p_lab), np.int32))
+    res = eval_openset(gal, pro, knn=1)
+    ref_rank1 = float(np.mean(ref_pred == p_lab))
+    assert res["rank1_subseq"] == ref_rank1
