@@ -37,10 +37,35 @@ from jax import lax
 glorot = nn.initializers.glorot_uniform()
 
 
+def _conv5d(x, w, dtype):
+    return lax.conv_general_dilated(
+        x, w[None], (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=dtype)
+
+
+def _conv4d_folded(x, w, dtype):
+    b, t, h, ww, c = x.shape
+    y = lax.conv_general_dilated(
+        x.reshape(b * t, h, ww, c), w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype)
+    return y.reshape(b, t, h, ww, -1)
+
+
 class FrameConv(nn.Module):
     """Per-frame conv on a 5D (B, T, H, W, C) volume via NDHWC with a unit
     time window.  The kernel param keeps the 2D (k, k, ci, co) shape so
-    checkpoints / Keras imports are identical to an nn.Conv."""
+    checkpoints / Keras imports are identical to an nn.Conv.
+
+    On TPU both forward and backward run through the 5D NDHWC conv (keeps
+    B in lanes, set pooling layout-preserving — see module docstring).  A
+    mixed-layout custom VJP (filter gradient through the folded 4D conv,
+    which is 3-4x faster standalone) was tried and REVERTED: inside the
+    full train jit the b-minor->default relayouts at the 4D boundary cost
+    more than the wgrad saved (108 -> 188 ms/step measured on v5e).  On
+    CPU everything folds to 4D (XLA:CPU lowers NDHWC poorly; >2x slower
+    test suite)."""
     features: int
     kernel: int
     dtype: jnp.dtype = jnp.float32
@@ -53,18 +78,8 @@ class FrameConv(nn.Module):
         x = x.astype(self.dtype)
         w = w.astype(self.dtype)
         if jax.default_backend() != "tpu":
-            # XLA:CPU lowers NDHWC convs poorly (>2x slower test suite);
-            # fold T into batch there — identical math, layout irrelevant.
-            b, t, h, ww, c = x.shape
-            y = lax.conv_general_dilated(
-                x.reshape(b * t, h, ww, c), w, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=self.dtype)
-            return y.reshape(b, t, h, ww, self.features)
-        return lax.conv_general_dilated(
-            x, w[None], (1, 1, 1),
-            "SAME", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=self.dtype)
+            return _conv4d_folded(x, w, self.dtype)
+        return _conv5d(x, w, self.dtype)
 
 
 def _set_max(a: jax.Array) -> jax.Array:
