@@ -60,12 +60,26 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def _xla_triplet(tcfg):
+    """Sharded steps force the XLA batch-all formulation: the pallas
+    kernel (the single-chip TPU default, ops/triplet.py) is a Mosaic
+    custom-call that the GSPMD partitioner cannot shard — at best it
+    forces replication, and partitioning behavior on a real multi-chip
+    mesh is unverifiable from this single-chip environment.  The XLA form
+    partitions cleanly and is what every mesh test validates."""
+    import dataclasses
+    if tcfg.triplet_kind == "batch_all":
+        return dataclasses.replace(tcfg, triplet_kind="batch_all_xla")
+    return tcfg
+
+
 def make_sharded_train_step(model, tx, mcfg, tcfg, mesh: Mesh):
     """GSPMD train step: state replicated, batch data-sharded. Identical
     numerics to the single-device step (global-batch triplet mining)."""
     from ugaitnet_tpu.train.train_step import TrainState, compute_losses
     import optax
 
+    tcfg = _xla_triplet(tcfg)
     rep = replicated(mesh)
     data = batch_sharding(mesh)
 
@@ -110,6 +124,7 @@ def make_shardmap_train_step(model, tx, mcfg, tcfg, mesh: Mesh):
     from ugaitnet_tpu.ops.triplet import make_triplet_loss
     from ugaitnet_tpu.train.train_step import Batch, TrainState
 
+    tcfg = _xla_triplet(tcfg)
     triplet_fn = make_triplet_loss(tcfg.triplet_kind, tcfg.margin)
     axis = DATA_AXIS
 
