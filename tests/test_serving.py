@@ -69,3 +69,40 @@ def test_warmup_precompiles_buckets(service):
            "raw_gray": ds.modalities["gray"].volumes[:2]}
     labels, _ = svc.identify_raw(raw)
     assert labels.shape == (2,)
+
+
+def test_exported_encoder_roundtrip(service, tmp_path):
+    """jax.export deployment artifact: serialize the raw->codes encoder
+    (params baked in), reload WITHOUT the service/model, and require
+    bit-identical codes, including bucket padding and a present-flag."""
+    ds, svc = service
+    from ugaitnet_tpu.eval.export import ExportedEncoder, export_encoder
+
+    out = str(tmp_path / "artifact")
+    sizes = export_encoder(svc, out, buckets=(4,))
+    assert sizes[4] > 0
+
+    enc = ExportedEncoder(out)
+    raw = {"raw_of": np.asarray(ds.modalities["of"].volumes[:3]),
+           "raw_gray": np.asarray(ds.modalities["gray"].volumes[:3])}
+    got = enc.encode(raw)
+
+    import jax.numpy as jnp
+    feed = {"raw_of": jnp.asarray(raw["raw_of"]),
+            "raw_gray": jnp.asarray(raw["raw_gray"]),
+            "present_of": jnp.ones(3, jnp.float32),
+            "present_gray": jnp.ones(3, jnp.float32),
+            "labels": jnp.zeros(3, jnp.int32)}
+    # pad to the bucket like the artifact does
+    feed4 = {k: (jnp.concatenate([v, v[-1:]]) if k.startswith("raw_")
+                 else jnp.concatenate([v, jnp.zeros_like(v[-1:])]))
+             for k, v in feed.items()}
+    want = np.asarray(svc._encode_raw(svc.params, feed4))[:3]
+    # the deserialized StableHLO recompiles independently; fp reassociation
+    # gives ~1e-7 noise
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # a disabled modality flows through the artifact too
+    raw0 = dict(raw, present_of=np.zeros(3, np.float32))
+    got0 = enc.encode(raw0)
+    assert not np.allclose(got0, got)

@@ -1,0 +1,55 @@
+"""Export a trained experiment as a self-contained serving artifact.
+
+    python -m ugaitnet_tpu.cli.export_model \
+        --experdir experiments/casiab_2mod --epoch best \
+        --out artifacts/casiab_2mod --buckets 1 8 32 128
+
+Loads the checkpoint, bakes the parameters into per-bucket StableHLO
+executables of the raw->signature encoder (eval/export.py), and writes a
+directory a serving process can load with `ExportedEncoder(path)` — no
+model code, checkpoint plumbing or retracing at serving time.  Run it on
+the platform you will serve on (the artifact is platform-bound).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--experdir", type=str, required=True,
+                   help="experiment dir (config.json + checkpoints)")
+    p.add_argument("--epoch", type=str, default="-1",
+                   help="checkpoint epoch, -1 = latest, 'best'")
+    p.add_argument("--out", type=str, required=True,
+                   help="output artifact directory")
+    p.add_argument("--buckets", type=int, nargs="+",
+                   default=[1, 8, 32, 128],
+                   help="query batch sizes to precompile")
+    p.add_argument("--typecode", type=int, default=3)
+    p.add_argument("--knn", type=int, default=3)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ugaitnet_tpu.core.runtime import setup_compilation_cache
+    setup_compilation_cache()
+    from ugaitnet_tpu.cli.evaluate import load_experiment
+    from ugaitnet_tpu.eval.export import export_encoder
+    from ugaitnet_tpu.eval.serving import SignatureService
+
+    model, state, mcfg, step = load_experiment(args.experdir, args.epoch)
+    modalities = tuple(b.modality for b in mcfg.branches)
+    svc = SignatureService(model, state.params, modalities,
+                           typecode=args.typecode, knn=args.knn,
+                           buckets=tuple(args.buckets))
+    sizes = export_encoder(svc, args.out, buckets=tuple(args.buckets))
+    for b, n in sorted(sizes.items()):
+        print(f"bucket {b:4d}: {n/1e6:.1f} MB")
+    print(f"exported epoch {step} -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Serialized deployment artifacts for the serving encoder.
+
+The reference has no deployment story beyond "load the Keras h5 in the
+same codebase" (mains/mj_testUWYHGaitNet_open_casiab.py:200-240).  Here
+the raw->signature encoder is exported as a self-contained StableHLO
+artifact (jax.export): trained parameters are baked in as constants, so a
+serving process needs NO model code, NO checkpoint plumbing and NO
+retracing — it deserializes one blob per batch bucket and calls it.
+
+Layout on disk (one directory):
+    meta.json            modalities/channels/typecode/buckets/platform
+    encode_b{N}.bin      serialized Exported for batch bucket N
+
+Artifacts are platform-bound (the StableHLO is lowered for the platform
+that exported it — "tpu" in production, "cpu" in the tests); loading on a
+different platform raises at call time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax import export as jax_export
+
+
+_RAW_DTYPES = {"of": jnp.int16, "gray": jnp.uint8, "depth": jnp.uint8,
+               "silhouette": jnp.uint8, "rgb": jnp.uint8}
+
+
+def _raw_specs(modalities, channels, batch: int) -> Dict[str, jax.ShapeDtypeStruct]:
+    """Input spec of SignatureService's raw dict at one bucket size
+    (data/pipeline.preprocess_batch consumes interleaved quantized planes:
+    (B, T*C, H, W) per modality + per-modality presence flags)."""
+    from ugaitnet_tpu.core.config import FRAME_H, FRAME_W, NUM_FRAMES
+    spec: Dict[str, jax.ShapeDtypeStruct] = {}
+    for m, c in zip(modalities, channels):
+        spec[f"raw_{m}"] = jax.ShapeDtypeStruct(
+            (batch, NUM_FRAMES * c, FRAME_H, FRAME_W), _RAW_DTYPES[m])
+        spec[f"present_{m}"] = jax.ShapeDtypeStruct((batch,), jnp.float32)
+    spec["labels"] = jax.ShapeDtypeStruct((batch,), jnp.int32)
+    return spec
+
+
+def export_encoder(service, out_dir: str,
+                   buckets: Sequence[int] = ()) -> Dict[int, int]:
+    """Export `service`'s raw->codes encoder, params baked in, one artifact
+    per batch bucket.  Returns {bucket: serialized bytes}. """
+    os.makedirs(out_dir, exist_ok=True)
+    buckets = tuple(buckets) or service.buckets
+    params = service.params
+
+    def encode(raw):
+        return service._encode_raw(params, raw)
+
+    sizes: Dict[int, int] = {}
+    for b in buckets:
+        spec = _raw_specs(service.modalities, service.channels, b)
+        exp = jax_export.export(jax.jit(encode))(spec)
+        blob = exp.serialize()
+        with open(os.path.join(out_dir, f"encode_b{b}.bin"), "wb") as f:
+            f.write(blob)
+        sizes[b] = len(blob)
+
+    meta = {
+        "modalities": list(service.modalities),
+        "channels": list(service.channels),
+        "compress_factors": list(service.compress_factors),
+        "typecode": service.typecode,
+        "buckets": sorted(buckets),
+        "platform": jax.default_backend(),
+    }
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    return sizes
+
+
+class ExportedEncoder:
+    """Load an export_encoder() directory and serve encode() from it —
+    no model code, params or retracing involved."""
+
+    def __init__(self, path: str):
+        with open(os.path.join(path, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.modalities = tuple(self.meta["modalities"])
+        self.channels = tuple(self.meta["channels"])
+        self.buckets = tuple(self.meta["buckets"])
+        self._fns = {}
+        for b in self.buckets:
+            with open(os.path.join(path, f"encode_b{b}.bin"), "rb") as f:
+                self._fns[b] = jax_export.deserialize(f.read())
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"batch {n} exceeds largest exported bucket "
+                         f"{self.buckets[-1]}")
+
+    def encode(self, raw: Dict[str, np.ndarray]) -> np.ndarray:
+        """raw: {"raw_<mod>": (B, T*C, H, W) quantized planes, optional
+        "present_<mod>": (B,) flags}.  Pads to the nearest bucket."""
+        n = next(v.shape[0] for k, v in raw.items() if k.startswith("raw_"))
+        b = self._bucket(n)
+        feed = {}
+        for m, c in zip(self.modalities, self.channels):
+            v = np.asarray(raw[f"raw_{m}"])
+            if v.shape[0] < b:
+                pad = np.repeat(v[-1:], b - v.shape[0], axis=0)
+                v = np.concatenate([v, pad], axis=0)
+            feed[f"raw_{m}"] = jnp.asarray(v)
+            pres = np.asarray(raw.get(f"present_{m}",
+                                      np.ones(n, np.float32)))
+            pres = np.concatenate(
+                [pres, np.zeros(b - len(pres), np.float32)])
+            feed[f"present_{m}"] = jnp.asarray(pres.astype(np.float32))
+        feed["labels"] = jnp.zeros((b,), jnp.int32)
+        codes = self._fns[b].call(feed)
+        return np.asarray(codes)[:n]
