@@ -95,3 +95,13 @@ def test_tfrecord_reader_against_tensorflow(tmp_path):
 
     full = load_gait_tfrecord(path, all_info=True)
     assert full["gait"] == [2] and full["compressFactor"] == [100]
+
+
+def test_xplane_summary_parses_empty(tmp_path):
+    """obsv/profiling: missing trace raises cleanly; real parsing is
+    exercised on hardware via benchmarks/parse_xplane.py."""
+    import pytest
+
+    from ugaitnet_tpu.obsv.profiling import summarize_xplane
+    with pytest.raises(FileNotFoundError):
+        summarize_xplane(str(tmp_path))
