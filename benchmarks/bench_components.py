@@ -112,6 +112,55 @@ def main():
         results[f"triplet_{name}"] = {"fwd_ms": tf_ * 1e3, "bwd_ms": tb * 1e3}
         print(f"  {name}: fwd {tf_*1e3:5.2f} ms  grad {tb*1e3:5.2f} ms")
 
+    # --- serving identify latency ----------------------------------------
+    print("# serving identify_raw (flagship 2-mod, gallery 2k codes)")
+    from ugaitnet_tpu.core.config import BranchConfig, ModelConfig
+    from ugaitnet_tpu.eval.serving import SignatureService
+    from ugaitnet_tpu.models.network import UGaitNet, init_params
+    mcfg = ModelConfig(
+        branches=(BranchConfig(kind="gaitset", modality="of"),
+                  BranchConfig(kind="gaitset", modality="gray")),
+        merge="sign_max", nclasses=0, compute_dtype="bfloat16")
+    smodel = UGaitNet(mcfg)
+    sparams = init_params(smodel, jax.random.PRNGKey(0))
+    svc = SignatureService(smodel, sparams, ("of", "gray"),
+                           buckets=(1, 8, 32))
+    code_dim = mcfg.signature_parts * mcfg.signature_dim
+    svc.set_gallery(rng.randn(2000, code_dim).astype(np.float32),
+                    np.arange(2000) % 74)
+    svc.warmup()
+    # device-resident inputs: through the axon tunnel, host->device raw
+    # transfer dominates wall time (~10 MB/s) and says nothing about the
+    # framework — stage the padded raw once and time the jitted identify.
+    for b in (1, 8, 32):
+        padded = {
+            "raw_of": jnp.asarray(np.asarray(
+                rng.randint(-3000, 3000, (b, 50, 60, 60)), np.int16)),
+            "raw_gray": jnp.asarray(np.asarray(
+                rng.randint(0, 255, (b, 25, 60, 60)), np.uint8)),
+            "present_of": jnp.ones((b,), jnp.float32),
+            "present_gray": jnp.ones((b,), jnp.float32),
+            "labels": jnp.zeros((b,), jnp.int32),
+            "source": jnp.zeros((b,), jnp.int32),
+        }
+
+        def one(padded=padded):
+            return svc._identify(svc.params, padded, svc._gallery_codes,
+                                 svc._gallery_dense, len(svc._ulabels), 3)
+
+        def sync(r):
+            float(r[1][0, 0])
+        sync(one())
+        t0 = time.perf_counter()
+        n = reps
+        for _ in range(n - 1):
+            one()
+        sync(one())   # one fetch: the tunnel RTT (~30 ms) would otherwise
+        t = (time.perf_counter() - t0) / n   # dominate every sample
+        results[f"identify_b{b}"] = {"ms": t * 1e3}
+        print(f"  B={b:3d}: {t*1e3:6.2f} ms/query-batch "
+              f"({b/t:6.0f} clips/s, device-resident input)")
+
     # --- host gather ------------------------------------------------------
     print("# host gather (128 x 360KB rows)")
     from ugaitnet_tpu.data.native import gather_rows, native_available

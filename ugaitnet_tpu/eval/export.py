@@ -90,6 +90,13 @@ class ExportedEncoder:
         self.modalities = tuple(self.meta["modalities"])
         self.channels = tuple(self.meta["channels"])
         self.buckets = tuple(self.meta["buckets"])
+        here = jax.default_backend()
+        if self.meta.get("platform", here) != here:
+            raise RuntimeError(
+                f"artifact at {path} was exported for platform "
+                f"{self.meta['platform']!r} but this process runs "
+                f"{here!r}; re-export on the serving platform "
+                f"(cli/export_model.py)")
         self._fns = {}
         for b in self.buckets:
             with open(os.path.join(path, f"encode_b{b}.bin"), "rb") as f:
