@@ -106,3 +106,19 @@ def test_exported_encoder_roundtrip(service, tmp_path):
     raw0 = dict(raw, present_of=np.zeros(3, np.float32))
     got0 = enc.encode(raw0)
     assert not np.allclose(got0, got)
+
+
+def test_exported_encoder_platform_guard(service, tmp_path):
+    import json
+    import os
+
+    import pytest
+
+    from ugaitnet_tpu.eval.export import ExportedEncoder, export_encoder
+    out = str(tmp_path / "artifact")
+    export_encoder(service[1], out, buckets=(4,))
+    meta = json.load(open(os.path.join(out, "meta.json")))
+    meta["platform"] = "tpu-v9"
+    json.dump(meta, open(os.path.join(out, "meta.json"), "w"))
+    with pytest.raises(RuntimeError, match="exported for platform"):
+        ExportedEncoder(out)
