@@ -1,0 +1,71 @@
+"""Full CLI acceptance test: every user-facing entry point chained the way
+a user would — build a packed dataset, train, evaluate, export a serving
+artifact, serve from it — all on the synthetic dataset, all through the
+CLI mains (no library shortcuts).  The reference's equivalent "test" was
+running its mains by hand (SURVEY.md §4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def workflow(tmp_path_factory):
+    root = tmp_path_factory.mktemp("wf")
+    data = str(root / "packed")
+    exper = str(root / "exp")
+
+    from ugaitnet_tpu.cli.build_data import main as build_main
+    build_main(["--synthetic", "--outdir", data])
+
+    from ugaitnet_tpu.cli.train import main as train_main
+    train_main(["--datadir", data, "--nclasses", "5",
+                "--mod0", "of", "--mod1", "gray", "--mergefun", "sign_max",
+                "--bs", "8", "--epochs", "2", "--savemodelfreq", "1",
+                "--gschannels", "4,4,8", "--gspartdim", "8",
+                "--experdir", exper, "--experfix", "wf"])
+    runs = [d for d in os.listdir(exper)
+            if os.path.isdir(os.path.join(exper, d))]
+    assert len(runs) == 1
+    return data, os.path.join(exper, runs[0])
+
+
+def test_train_wrote_config_and_checkpoint(workflow):
+    _, experdir = workflow
+    cfg = json.load(open(os.path.join(experdir, "config.json")))
+    assert cfg["model"]["nclasses"] == 5
+    from ugaitnet_tpu.core import checkpoint as ckpt
+    assert ckpt.latest_checkpoint_step(experdir) is not None
+
+
+def test_evaluate_cli(workflow, capsys):
+    data, experdir = workflow
+    from ugaitnet_tpu.cli.evaluate import main as eval_main
+    eval_main(["--experdir", experdir, "--gallery", data,
+               "--probes", data, "--protocol", "openset", "--knn", "1",
+               "--bs", "8"])
+    out = capsys.readouterr().out
+    assert "rank1" in out
+    # self-retrieval: every probe is in the gallery at distance 0
+    line = [l for l in out.splitlines() if "rank1_subseq" in l][-1]
+    assert "1.0" in line
+
+
+def test_export_and_serve_from_artifact(workflow, tmp_path):
+    data, experdir = workflow
+    from ugaitnet_tpu.cli.export_model import main as export_main
+    art = str(tmp_path / "artifact")
+    export_main(["--experdir", experdir, "--out", art, "--buckets", "4"])
+
+    from ugaitnet_tpu.data.schema import GaitDataset
+    from ugaitnet_tpu.eval.export import ExportedEncoder
+    ds = GaitDataset.load(data)
+    enc = ExportedEncoder(art)
+    raw = {"raw_of": np.asarray(ds.modalities["of"].volumes[:3]),
+           "raw_gray": np.asarray(ds.modalities["gray"].volumes[:3])}
+    codes = enc.encode(raw)
+    assert codes.shape[0] == 3 and np.all(np.isfinite(codes))
+    # same clip -> same code; different clip -> different code
+    assert not np.allclose(codes[0], codes[1])

@@ -101,6 +101,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--initepoch", type=str, default="-1",
                    help="checkpoint epoch for --initnet/--initbranch "
                         "(-1 latest, or 'best')")
+    p.add_argument("--gschannels", type=str, default="",
+                   help="gaitset stage widths 'c1,c2,c3' (default 32,64,128;"
+                        " smaller for smoke runs / sweeps)")
+    p.add_argument("--gspartdim", type=int, default=0,
+                   help="gaitset per-part projection dim (default 256)")
     return p
 
 
@@ -114,8 +119,14 @@ def configs_from_args(args):
         mods.append(args.mod1)
         if args.mod2:
             mods.append(args.mod2)
+    extra = {}
+    if args.gschannels:
+        extra["gaitset_channels"] = tuple(
+            int(x) for x in args.gschannels.replace(",", " ").split())
+    if args.gspartdim:
+        extra["part_dim"] = args.gspartdim
     branches = tuple(
-        BranchConfig(kind=kind, modality=m, dropout=args.dropout)
+        BranchConfig(kind=kind, modality=m, dropout=args.dropout, **extra)
         for m in mods)
     mcfg = ModelConfig(
         branches=branches, merge=args.mergefun, nclasses=args.nclasses,
