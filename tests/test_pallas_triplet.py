@@ -61,3 +61,26 @@ def test_degenerate_batches_no_nan():
         g = jax.grad(lambda e: batch_all_triplet_loss_pallas(
             e, jnp.asarray(labels.astype(np.int32)), interpret=True))(emb)
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_large_batch_falls_back_to_xla():
+    """Padded batches above 128 exceed the kernel's VMEM budget; the entry
+    point must route them to the XLA formulation with identical values."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ugaitnet_tpu.ops.pallas.triplet_kernel import (
+        batch_all_triplet_loss_pallas)
+    from ugaitnet_tpu.ops.triplet import batch_all_triplet_loss
+
+    rng = np.random.RandomState(0)
+    emb = jnp.asarray(rng.randn(160, 4, 32).astype(np.float32))
+    labels = jnp.asarray((np.arange(160) % 10).astype(np.int32))
+    v1 = float(batch_all_triplet_loss(emb, labels, 0.2))
+    v2 = float(batch_all_triplet_loss_pallas(emb, labels, 0.2))
+    assert v1 == v2
+    g1 = jax.grad(lambda e: batch_all_triplet_loss(e, labels, 0.2))(emb)
+    g2 = jax.grad(
+        lambda e: batch_all_triplet_loss_pallas(e, labels, 0.2))(emb)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))

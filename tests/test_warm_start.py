@@ -128,3 +128,98 @@ def test_trainer_warm_start_applies_once(single_mod_experiment, tmp_path):
         np.asarray(state.params["params"]["branch_of"]["a_conv1"]["kernel"]),
         np.asarray(
             src_state.params["params"]["branch_of"]["a_conv1"]["kernel"]))
+
+
+def _write_fake_gaitset_h5(path, nbranch, ci_list, channels=(4, 4, 8),
+                           part_dim=8, nclasses=None, seed=0):
+    """Minimal h5 in the Keras weights layout for an nbranch gaitset net
+    (layer groups named like the reference's build order)."""
+    import h5py
+    rng = np.random.RandomState(seed)
+    c1, c2, c3 = channels
+    with h5py.File(path, "w") as f:
+        def layer(name, arrays):
+            g = f.create_group(name)
+            wnames = []
+            for i, a in enumerate(arrays):
+                wn = f"{name}/w_{i}:0"
+                g.create_dataset(wn, data=a.astype(np.float32))
+                wnames.append(wn.encode())
+            g.attrs["weight_names"] = wnames
+        idx_td = idx_c = idx_mm = 0
+        for b in range(nbranch):
+            ci = ci_list[b]
+            shapes = [(5, 5, ci, c1), (3, 3, c1, c1), (3, 3, c1, c2),
+                      (3, 3, c2, c2), (3, 3, c2, c3), (3, 3, c3, c3)]
+            for s in shapes:
+                name = ("time_distributed" if idx_td == 0
+                        else f"time_distributed_{idx_td}")
+                layer(name, [rng.randn(*s)])
+                idx_td += 1
+            for s in [(3, 3, c1, c2), (3, 3, c2, c2), (3, 3, c2, c3),
+                      (3, 3, c3, c3)]:
+                name = "conv2d" if idx_c == 0 else f"conv2d_{idx_c}"
+                layer(name, [rng.randn(*s)])
+                idx_c += 1
+            name = "mat_mul" if idx_mm == 0 else f"mat_mul_{idx_mm}"
+            layer(name, [rng.randn(62, c3, part_dim)])
+            idx_mm += 1
+        if nclasses:
+            layer("classprob", [rng.randn(62 * part_dim, nclasses),
+                                rng.randn(nclasses)])
+        f.attrs["layer_names"] = [n.encode() for n in f.keys()]
+
+
+def _tiny_2mod_params():
+    import jax
+
+    from ugaitnet_tpu.core.config import BranchConfig, ModelConfig
+    from ugaitnet_tpu.models.network import UGaitNet, init_params
+    mcfg = ModelConfig(
+        branches=(BranchConfig(kind="gaitset", modality="of",
+                               gaitset_channels=(4, 4, 8), part_dim=8),
+                  BranchConfig(kind="gaitset", modality="gray",
+                               gaitset_channels=(4, 4, 8), part_dim=8)),
+        merge="max", nclasses=7)
+    model = UGaitNet(mcfg)
+    return init_params(model, jax.random.PRNGKey(0))
+
+
+def test_h5_branch_warm_start_does_not_clobber_others(tmp_path):
+    """Regression: the Keras loaders used to mutate the caller's tree in
+    place, so a single-branch h5 warm start silently overwrote EVERY
+    branch and the classifier head."""
+    from ugaitnet_tpu.utils.warm_start import warm_start_branches
+    h5 = str(tmp_path / "src_weights.h5")
+    _write_fake_gaitset_h5(h5, nbranch=2, ci_list=[2, 1], nclasses=7)
+    params = _tiny_2mod_params()
+    before_of = np.asarray(params["params"]["branch_of"]["a_conv1"]["kernel"])
+    before_head = np.asarray(params["params"]["classprob"]["kernel"])
+    out = warm_start_branches(params, {"gray": (h5, "gray")})
+    # requested branch changed...
+    assert not np.allclose(
+        np.asarray(out["params"]["branch_gray"]["a_conv1"]["kernel"]),
+        np.asarray(params["params"]["branch_gray"]["a_conv1"]["kernel"]))
+    # ...the others did not (neither in the result nor the input tree)
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["branch_of"]["a_conv1"]["kernel"]),
+        before_of)
+    np.testing.assert_array_equal(
+        np.asarray(params["params"]["branch_of"]["a_conv1"]["kernel"]),
+        before_of)
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["classprob"]["kernel"]), before_head)
+
+
+def test_h5_branch_warm_start_from_single_mod_source(tmp_path):
+    """The reference :765 quirk: a 2-mod net's gray branch initialized
+    from a 1-mod OF model's only branch — source branch count differs
+    from the target's."""
+    from ugaitnet_tpu.utils.warm_start import warm_start_branches
+    h5 = str(tmp_path / "of_single_weights.h5")
+    _write_fake_gaitset_h5(h5, nbranch=1, ci_list=[1], seed=3)
+    params = _tiny_2mod_params()
+    out = warm_start_branches(params, {"gray": (h5, "of")})
+    got = np.asarray(out["params"]["branch_gray"]["a_conv2"]["kernel"])
+    assert not np.allclose(
+        got, np.asarray(params["params"]["branch_gray"]["a_conv2"]["kernel"]))

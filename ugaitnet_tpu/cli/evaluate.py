@@ -83,6 +83,12 @@ def main(argv=None):
         encode_set, eval_all_combos, eval_camera_pairs, eval_openset)
 
     model, state, mcfg, step = load_experiment(args.experdir, args.epoch)
+    if step == "best":
+        # the 'best' checkpoint dir is OVERWRITTEN as training improves;
+        # stamp its mtime into the cache tag so cached codes never outlive
+        # the weights that produced them
+        bdir = os.path.join(args.experdir, "ckpt", "best")
+        step = f"best{int(os.path.getmtime(bdir))}"
     modalities = tuple(b.modality for b in mcfg.branches)
     ecfg = EvalConfig(knn=args.knn, typecode=args.typecode,
                       batch_size=args.bs,

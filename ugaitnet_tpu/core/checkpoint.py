@@ -73,24 +73,25 @@ def restore_params_surgery(experdir: str, step: int, target_params: Any
     path = os.path.join(_ckpt_root(experdir), _step_dir(step))
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(path)
+    return merge_matching(target_params, restored)
 
-    def merge(t, r):
-        try:
-            r = np.asarray(r)
-            t_arr = np.asarray(t)
-            if r.shape == t_arr.shape:
-                return r.astype(t_arr.dtype)
-        except Exception:
-            pass
-        return t
 
-    # walk both dict trees by key; missing/mismatched keys keep target
-    def walk(t, r):
-        if isinstance(t, dict):
-            return {k: walk(v, r.get(k)) if isinstance(r, dict) else v
-                    for k, v in t.items()}
-        if r is None:
-            return t
-        return merge(t, r)
-
-    return walk(target_params, restored)
+def merge_matching(target: Any, source: Any) -> Any:
+    """Walk two nested dict trees by key, taking source leaves wherever the
+    shapes match and keeping target's elsewhere (the Keras
+    load_weights(by_name=True, skip_mismatch=True) semantics; shared by
+    checkpoint surgery and utils/warm_start)."""
+    if isinstance(target, dict):
+        return {k: (merge_matching(v, source.get(k))
+                    if isinstance(source, dict) else v)
+                for k, v in target.items()}
+    if source is None:
+        return target
+    try:
+        s = np.asarray(source)
+        t = np.asarray(target)
+        if s.shape == t.shape:
+            return s.astype(t.dtype)
+    except Exception:
+        pass
+    return target

@@ -20,8 +20,9 @@ Backward is a second kernel with the analytic gradient:
                by upstream/count_p/P)
   dL/dx = (diag(rowsum W) - W) @ x with W[i,j] = (g[i,j]+g[j,i])/d[i,j]
 
-Both kernels mask padded batch rows (labels are padded with -1), so any
-batch size works; shapes are padded to the fp32 (8, 128) tile internally.
+Both kernels mask padded batch rows (labels are padded with -1); batches
+up to 128 run in the kernel (padded to 128), larger batches fall back to
+the XLA formulation (the unrolled 2D blocks exceed VMEM past bp=128).
 """
 
 from __future__ import annotations
@@ -59,8 +60,14 @@ def _dist_and_masks(emb, labels, bp):
     return dist, same, diff
 
 
-ANCHOR_BLOCK = 32      # fwd block
-BWD_BLOCK = 16         # bwd keeps more live values; smaller block fits vmem
+# Anchor-block sizes at the kernel's only supported padded batch (128):
+# the 2D block tensors are (A*bp, bp) fp32, and with the statically
+# unrolled block loop mosaic's scoped-vmem accounting keeps several
+# blocks' intermediates live — at bp=256 the backward peaks at ~58M vs
+# the 16M limit even with tiny blocks, so batches above 128 route to the
+# XLA formulation instead (batch_all_triplet_loss_pallas).
+FWD_BLOCK = 32
+BWD_BLOCK = 16
 
 
 def _k_onehot(a: int, bp: int):
@@ -96,16 +103,17 @@ def _fwd_kernel(margin_ref, labels_ref, emb_ref, out_ref):
     margin = margin_ref[0]
     dist, same, diff = _dist_and_masks(emb_ref[...], labels_ref[...], bp)
 
-    k1 = _k_onehot(ANCHOR_BLOCK, bp)
+    a_blk = FWD_BLOCK
+    k1 = _k_onehot(a_blk, bp)
 
-    # bp is padded to a multiple of ANCHOR_BLOCK; padded anchors have
-    # label -1 and contribute nothing (their pos/neg masks are zero).
-    # The block count is STATIC (bp/A, e.g. 4 at B=128/A=32), so a python
-    # loop gives static row slices — no one-hot selection matmuls needed.
+    # bp is padded to a multiple of 128, so a_blk (a power of two <= 32)
+    # divides it; padded anchors have label -1 and contribute nothing
+    # (their pos/neg masks are zero).  The block count is STATIC, so a
+    # python loop gives static row slices — no one-hot selection matmuls.
     s = jnp.float32(0.0)
     c = jnp.float32(0.0)
-    for blk in range(bp // ANCHOR_BLOCK):
-        i0, i1 = blk * ANCHOR_BLOCK, (blk + 1) * ANCHOR_BLOCK
+    for blk in range(bp // a_blk):
+        i0, i1 = blk * a_blk, (blk + 1) * a_blk
         t2, act = _block_2d(dist[i0:i1], same[i0:i1], diff[i0:i1],
                             margin, bp, k1)
         s = s + jnp.sum(t2 * act)
@@ -125,22 +133,23 @@ def _bwd_kernel(margin_ref, scale_ref, labels_ref, emb_ref, grad_ref):
     x = emb_ref[...].astype(jnp.float32)
     dist, same, diff = _dist_and_masks(x, labels_ref[...], bp)
 
+    a_blk = BWD_BLOCK
     # O[a, (a2,k)] = 1 iff a2 == a: block row-sum as one MXU matmul
     # (summing act over k for fixed (a, j) -- a cross-sublane segmented
     # reduction the VPU has no cheap form for)
     o_cols = jax.lax.broadcasted_iota(
-        jnp.int32, (BWD_BLOCK, BWD_BLOCK * bp), 1) // bp
+        jnp.int32, (a_blk, a_blk * bp), 1) // bp
     o_rows = jax.lax.broadcasted_iota(
-        jnp.int32, (BWD_BLOCK, BWD_BLOCK * bp), 0)
+        jnp.int32, (a_blk, a_blk * bp), 0)
     o_mat = (o_cols == o_rows).astype(jnp.float32)
 
-    k1 = _k_onehot(BWD_BLOCK, bp)
+    k1 = _k_onehot(a_blk, bp)
 
     # static block loop (see _fwd_kernel): rows come from static slices
     # and the per-block gradient rows concatenate back in order.
     g_blocks = []
-    for blk in range(bp // BWD_BLOCK):
-        i0, i1 = blk * BWD_BLOCK, (blk + 1) * BWD_BLOCK
+    for blk in range(bp // a_blk):
+        i0, i1 = blk * a_blk, (blk + 1) * a_blk
         _, act = _block_2d(dist[i0:i1], same[i0:i1], diff[i0:i1],
                            margin, bp, k1)                  # ((A*B), B)
         # g_rows[a, m] = #act(a, j=m, .) - #act(a, ., k=m)
@@ -253,7 +262,12 @@ def batch_all_triplet_loss_pallas(embeddings: jax.Array, labels: jax.Array,
 
     embeddings: (B, D) or batch-major (B, P, D); labels (B,).
     interpret=True runs the kernels in the Pallas interpreter (CPU tests).
+    Batches above 128 fall back to the XLA formulation (see module
+    docstring); identical semantics either way.
     """
+    if embeddings.shape[0] > 128:
+        from ugaitnet_tpu.ops.triplet import batch_all_triplet_loss
+        return batch_all_triplet_loss(embeddings, labels, margin)
     if embeddings.ndim == 2:
         emb = embeddings[None]
     else:

@@ -77,6 +77,14 @@ def _branch_keys(p: Dict) -> List[str]:
     return sorted(keys, key=lambda b: (_MOD_ORDER.get(b, 99), b))
 
 
+def _copy_tree(tree: Any) -> Any:
+    """Fresh nested dicts over the same (immutable) leaves, so the loaders
+    can assign in place without mutating the caller's tree."""
+    if isinstance(tree, dict):
+        return {k: _copy_tree(v) for k, v in tree.items()}
+    return tree
+
+
 def _copy_head(p: Dict, weights: Dict) -> None:
     import jax.numpy as jnp
     if "classprob" in p and "classprob" in weights:
@@ -95,6 +103,7 @@ def load_gaitset_weights(h5path: str, params: Any,
     """
     if weights is None:
         weights = _collect_weights(h5path)
+    params = _copy_tree(params)
     tds = sorted([n for n in weights if n.startswith("time_distributed")],
                  key=lambda n: _suffix(n, "time_distributed"))
     convs = sorted([n for n in weights if n.startswith("conv2d")],
@@ -126,6 +135,42 @@ def load_gaitset_weights(h5path: str, params: Any,
     return params
 
 
+def load_gaitset_branch_weights(h5path: str, branch_params: Dict,
+                                src_index: int,
+                                weights: Dict[str, List[np.ndarray]] = None
+                                ) -> Dict:
+    """Extract ONE branch (by creation-order index) from a reference
+    gaitset h5 with ANY branch count into a copy of `branch_params`.
+
+    Powers per-branch warm starts whose source net has a different branch
+    count than the target — e.g. the reference's 2-mod gray branch
+    initialized from a single-modality OF model (mj_uwyhNets_ba.py:765)."""
+    if weights is None:
+        weights = _collect_weights(h5path)
+    tds = sorted([n for n in weights if n.startswith("time_distributed")],
+                 key=lambda n: _suffix(n, "time_distributed"))
+    convs = sorted([n for n in weights if n.startswith("conv2d")],
+                   key=lambda n: _suffix(n, "conv2d"))
+    mms = sorted([n for n in weights if n.startswith("mat_mul")],
+                 key=lambda n: _suffix(n, "mat_mul"))
+    n = len(mms)
+    if n == 0 or len(tds) != 6 * n or len(convs) != 4 * n:
+        raise ValueError(
+            f"not a gaitset checkpoint: {len(tds)}/{len(convs)}/{n} "
+            "TimeDistributed/Conv2D/MatMul layers")
+    if not 0 <= src_index < n:
+        raise ValueError(f"source h5 has {n} branch(es); "
+                         f"index {src_index} out of range")
+    import jax.numpy as jnp
+    branch = _copy_tree(branch_params)
+    for i, name in enumerate(tds[6 * src_index:6 * (src_index + 1)], 1):
+        branch[f"a_conv{i}"]["kernel"] = jnp.asarray(weights[name][0])
+    for i, name in enumerate(convs[4 * src_index:4 * (src_index + 1)], 1):
+        branch[f"b_conv{i}"]["kernel"] = jnp.asarray(weights[name][0])
+    branch["part_proj"] = jnp.asarray(weights[mms[src_index]][0])
+    return branch
+
+
 def load_gaitset_2mod_weights(h5path: str, params: Any) -> Any:
     """Flagship alias (kept for callers of the round-1 API)."""
     return load_gaitset_weights(h5path, params)
@@ -150,6 +195,7 @@ def load_sequential_branch_weights(h5path: str, params: Any,
     groups in a reference h5 (UWYHNet.buildBranch* / build_3Dbranch*)."""
     if weights is None:
         weights = _collect_weights(h5path)
+    params = _copy_tree(params)
     import jax.numpy as jnp
     p = params["params"] if "params" in params else params
 

@@ -25,23 +25,12 @@ from typing import Any, Dict, Optional, Tuple
 import numpy as np
 
 
-def _merge_matching(target: Any, source: Any) -> Any:
-    """Walk two nested dict trees by key, taking source leaves wherever the
-    shapes match (load_weights(by_name=True, skip_mismatch=True) parity)."""
-    if isinstance(target, dict):
-        return {k: (_merge_matching(v, source.get(k))
-                    if isinstance(source, dict) else v)
-                for k, v in target.items()}
-    if source is None:
-        return target
-    try:
-        s = np.asarray(source)
-        t = np.asarray(target)
-        if s.shape == t.shape:
-            return s.astype(t.dtype)
-    except Exception:
-        pass
-    return target
+from ugaitnet_tpu.core.checkpoint import merge_matching as _merge_matching
+
+# canonical reference branch build order — all its mains construct nets
+# with inputs in this sequence, so branch i of an h5 maps to this modality
+# (mains/mj_trainUWYHGaitNet_DataGen_*.py input_shapes ordering)
+_REF_BRANCH_ORDER = ("of", "gray", "depth", "silhouette", "rgb")
 
 
 def _count_leaves(tree: Any) -> int:
@@ -105,17 +94,40 @@ def warm_start_branches(params: Any, sources: Dict[str, Tuple[str, str]],
     loaded: Dict[str, Any] = {}
     for dst, (path, src_mod) in sources.items():
         if path not in loaded:
-            loaded[path] = load_source_params(path, epoch,
-                                              target_params=params)
+            if path.endswith((".h5", ".hdf5")):
+                from ugaitnet_tpu.utils.keras_import import _collect_weights
+                loaded[path] = _collect_weights(path)
+            else:
+                loaded[path] = load_source_params(path, epoch,
+                                                  target_params=params)
+        dkey = f"branch_{dst}"
+        if dkey not in tree:
+            raise KeyError(f"target net has no '{dkey}' branch")
+        if path.endswith((".h5", ".hdf5")):
+            # extract the single branch straight from the h5 so the source
+            # net may have ANY branch count (e.g. gray init from a 1-mod
+            # OF model, the reference :765 quirk)
+            from ugaitnet_tpu.utils.keras_import import (
+                _collect_weights, load_gaitset_branch_weights)
+            weights = loaded[path]
+            nh5 = len([n for n in weights if n.startswith("mat_mul")])
+            if nh5 == 0:
+                raise ValueError(
+                    f"{path}: per-branch h5 warm start supports the "
+                    "gaitset family only (no MatMul layers found); use "
+                    "--initnet for conv2d/conv3d h5s")
+            idx = 0 if nh5 == 1 else _REF_BRANCH_ORDER.index(src_mod)
+            src_branch = load_gaitset_branch_weights(
+                path, tree[dkey], idx, weights=weights)
+            new_tree[dkey] = _merge_matching(tree[dkey], src_branch)
+            continue
         src = loaded[path]
         src_tree = src["params"] if "params" in src else src
-        skey, dkey = f"branch_{src_mod}", f"branch_{dst}"
+        skey = f"branch_{src_mod}"
         if skey not in src_tree:
             raise KeyError(
                 f"source {path} has no '{skey}' subtree "
                 f"(has {sorted(src_tree)})")
-        if dkey not in tree:
-            raise KeyError(f"target net has no '{dkey}' branch")
         merged = _merge_matching(tree[dkey], src_tree[skey])
         new_tree[dkey] = merged
     if "params" in params:
