@@ -35,7 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--knn", type=int, default=3)
     p.add_argument("--typecode", type=int, default=3)
     p.add_argument("--usemirror", action="store_true")
-    p.add_argument("--useavg", action="store_true", default=True)
+    p.add_argument("--useavg", action="store_true", default=True,
+                   help="merged-code video protocol averages codes "
+                        "(--no-useavg: element-wise max, reference "
+                        "mj_testUWYHGaitNet_open_tum.py --useavg 0)")
+    p.add_argument("--no-useavg", dest="useavg", action="store_false")
     p.add_argument("--allcombos", action="store_true",
                    help="gallery from all modality combos")
     p.add_argument("--allcombostest", action="store_true",
@@ -94,10 +98,23 @@ def main(argv=None):
                       batch_size=args.bs,
                       mirror_gallery=args.usemirror)
 
+    def ds_tag(path):
+        # dataset identity in the cache name: distinct dirs sharing a
+        # basename (or a dir whose contents changed) must never reuse
+        # each other's cached codes
+        import hashlib
+        ap = os.path.abspath(path)
+        seed = ap
+        for fn in ("meta.json", "labels.npy"):
+            fp = os.path.join(ap, fn)
+            if os.path.exists(fp):
+                seed += f":{fn}:{os.path.getmtime(fp)}:{os.path.getsize(fp)}"
+        return hashlib.sha1(seed.encode()).hexdigest()[:10]
+
     gallery_ds = GaitDataset.load(args.gallery)
     cache = os.path.join(
         args.experdir,
-        f"codes_gallery_e{step}_t{args.typecode}"
+        f"codes_gallery_{ds_tag(args.gallery)}_e{step}_t{args.typecode}"
         f"_mir{int(args.usemirror)}.npz")
     gallery = encode_set(model, state.params, gallery_ds, modalities, ecfg,
                          mirror=args.usemirror, cache_path=cache)
@@ -114,11 +131,12 @@ def main(argv=None):
             # probe codes are cached per test dir like the gallery's
             # (mj_testUWYHGaitNet_open_casiab.py:349-366)
             mods_tag = ("all" if args.usemod is None else
-                        "m" + "".join(str(int(u)) for u in args.usemod))
+                        "m" + "-".join(f"{u:g}".replace(".", "p")
+                                       for u in args.usemod))
             probe_cache = os.path.join(
                 args.experdir,
-                f"codes_probe_{name}_e{step}_t{args.typecode}"
-                f"_{mods_tag}.npz")
+                f"codes_probe_{name}_{ds_tag(probe_dir)}_e{step}"
+                f"_t{args.typecode}_{mods_tag}.npz")
             probe = encode_set(model, state.params, probe_ds, modalities,
                                ecfg, use_mods=args.usemod,
                                cache_path=probe_cache)

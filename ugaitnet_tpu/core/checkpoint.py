@@ -66,6 +66,14 @@ def restore_checkpoint(experdir: str, step, target: Any) -> Any:
         return ckptr.restore(path, jax.device_get(target))
 
 
+def restore_raw(experdir: str, step) -> Any:
+    """Restore a checkpoint's raw pytree (TrainState or bare params) with
+    no target structure — used by warm starts."""
+    path = os.path.join(_ckpt_root(experdir), _step_dir(step))
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path)
+
+
 def restore_params_surgery(experdir: str, step: int, target_params: Any
                            ) -> Any:
     """Restore params, keeping target's weights wherever shapes mismatch

@@ -29,19 +29,19 @@ import numpy as np
 from jax import export as jax_export
 
 
-_RAW_DTYPES = {"of": jnp.int16, "gray": jnp.uint8, "depth": jnp.uint8,
-               "silhouette": jnp.uint8, "rgb": jnp.uint8}
-
-
-def _raw_specs(modalities, channels, batch: int) -> Dict[str, jax.ShapeDtypeStruct]:
+def _raw_specs(modalities, channels, compress_factors,
+               batch: int) -> Dict[str, jax.ShapeDtypeStruct]:
     """Input spec of SignatureService's raw dict at one bucket size
     (data/pipeline.preprocess_batch consumes interleaved quantized planes:
-    (B, T*C, H, W) per modality + per-modality presence flags)."""
+    (B, T*C, H, W) per modality + per-modality presence flags).  The raw
+    dtype follows the quantization scale exactly like serving's warmup()
+    does: factor > 1 means x100-style int16 planes, else uint8."""
     from ugaitnet_tpu.core.config import FRAME_H, FRAME_W, NUM_FRAMES
     spec: Dict[str, jax.ShapeDtypeStruct] = {}
-    for m, c in zip(modalities, channels):
+    for m, c, f in zip(modalities, channels, compress_factors):
+        dt = jnp.int16 if f > 1 else jnp.uint8
         spec[f"raw_{m}"] = jax.ShapeDtypeStruct(
-            (batch, NUM_FRAMES * c, FRAME_H, FRAME_W), _RAW_DTYPES[m])
+            (batch, NUM_FRAMES * c, FRAME_H, FRAME_W), dt)
         spec[f"present_{m}"] = jax.ShapeDtypeStruct((batch,), jnp.float32)
     spec["labels"] = jax.ShapeDtypeStruct((batch,), jnp.int32)
     return spec
@@ -60,7 +60,8 @@ def export_encoder(service, out_dir: str,
 
     sizes: Dict[int, int] = {}
     for b in buckets:
-        spec = _raw_specs(service.modalities, service.channels, b)
+        spec = _raw_specs(service.modalities, service.channels,
+                          service.compress_factors, b)
         exp = jax_export.export(jax.jit(encode))(spec)
         blob = exp.serialize()
         with open(os.path.join(out_dir, f"encode_b{b}.bin"), "wb") as f:
@@ -106,14 +107,22 @@ class ExportedEncoder:
         for b in self.buckets:
             if n <= b:
                 return b
-        raise ValueError(f"batch {n} exceeds largest exported bucket "
-                         f"{self.buckets[-1]}")
+        return -1   # chunk through the largest bucket
 
     def encode(self, raw: Dict[str, np.ndarray]) -> np.ndarray:
         """raw: {"raw_<mod>": (B, T*C, H, W) quantized planes, optional
         "present_<mod>": (B,) flags}.  Pads to the nearest bucket."""
         n = next(v.shape[0] for k, v in raw.items() if k.startswith("raw_"))
         b = self._bucket(n)
+        if b < 0:
+            # larger than any bucket: serve in slices of the biggest one
+            big = self.buckets[-1]
+            outs = []
+            for s0 in range(0, n, big):
+                chunk = {k: np.asarray(v)[s0:s0 + big]
+                         for k, v in raw.items()}
+                outs.append(self.encode(chunk))
+            return np.concatenate(outs, axis=0)
         feed = {}
         for m, c in zip(self.modalities, self.channels):
             v = np.asarray(raw[f"raw_{m}"])

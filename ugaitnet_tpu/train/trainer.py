@@ -92,7 +92,14 @@ class Trainer:
                 self.model, self.tx, mcfg, tcfg, mesh)
         else:
             self.step_fn = make_train_step(self.model, self.tx, mcfg, tcfg)
-        self.eval_step = make_eval_step(self.model, mcfg, tcfg)
+        # val metrics always use the XLA triplet formulation: on a mesh
+        # the pallas default would put a Mosaic custom-call under the
+        # GSPMD partitioner (see parallel/sharding._xla_triplet), and the
+        # occasional val pass doesn't need the kernel's speed anyway
+        import dataclasses
+        eval_tcfg = (dataclasses.replace(tcfg, triplet_kind="batch_all_xla")
+                     if tcfg.triplet_kind == "batch_all" else tcfg)
+        self.eval_step = make_eval_step(self.model, mcfg, eval_tcfg)
         self.logger = MetricsLogger(experdir, use_tensorboard)
         self.modalities = tuple(b.modality for b in mcfg.branches)
 

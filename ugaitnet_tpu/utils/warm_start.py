@@ -58,11 +58,7 @@ def load_source_params(path: str, epoch=-1,
         step = ckpt.latest_checkpoint_step(path)
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {path}")
-    import orbax.checkpoint as ocp
-    cpath = os.path.join(os.path.abspath(path), "ckpt",
-                         "best" if step == "best" else str(int(step)))
-    with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(cpath)
+    restored = ckpt.restore_raw(path, step)
     # Trainer checkpoints store a TrainState pytree (step/params/opt_state);
     # a bare params tree may also have a top-level "params" key (flax), so
     # detect the TrainState by its sibling keys.
@@ -93,8 +89,11 @@ def warm_start_branches(params: Any, sources: Dict[str, Tuple[str, str]],
     new_tree = dict(tree)
     loaded: Dict[str, Any] = {}
     for dst, (path, src_mod) in sources.items():
+        is_h5 = path.endswith((".h5", ".hdf5"))
         if path not in loaded:
-            if path.endswith((".h5", ".hdf5")):
+            # `loaded` caches the h5 layer-weights dict for h5 sources and
+            # the restored params tree for experiment dirs
+            if is_h5:
                 from ugaitnet_tpu.utils.keras_import import _collect_weights
                 loaded[path] = _collect_weights(path)
             else:
@@ -103,12 +102,12 @@ def warm_start_branches(params: Any, sources: Dict[str, Tuple[str, str]],
         dkey = f"branch_{dst}"
         if dkey not in tree:
             raise KeyError(f"target net has no '{dkey}' branch")
-        if path.endswith((".h5", ".hdf5")):
+        if is_h5:
             # extract the single branch straight from the h5 so the source
             # net may have ANY branch count (e.g. gray init from a 1-mod
             # OF model, the reference :765 quirk)
             from ugaitnet_tpu.utils.keras_import import (
-                _collect_weights, load_gaitset_branch_weights)
+                load_gaitset_branch_weights)
             weights = loaded[path]
             nh5 = len([n for n in weights if n.startswith("mat_mul")])
             if nh5 == 0:
@@ -116,7 +115,23 @@ def warm_start_branches(params: Any, sources: Dict[str, Tuple[str, str]],
                     f"{path}: per-branch h5 warm start supports the "
                     "gaitset family only (no MatMul layers found); use "
                     "--initnet for conv2d/conv3d h5s")
-            idx = 0 if nh5 == 1 else _REF_BRANCH_ORDER.index(src_mod)
+            # src_mod may be a modality name (resolved through the
+            # canonical reference build order, which assumes the source
+            # net's modalities are a prefix of it) or an explicit integer
+            # branch index ("gray=path@1") for sources that are not
+            if src_mod.isdigit():
+                idx = int(src_mod)
+            elif nh5 == 1:
+                idx = 0
+            else:
+                idx = _REF_BRANCH_ORDER.index(src_mod)
+            if not 0 <= idx < nh5:
+                raise ValueError(
+                    f"{path} has {nh5} branch(es); source {src_mod!r} "
+                    f"resolves to index {idx}. If the source net's "
+                    "modalities are not a prefix of "
+                    f"{_REF_BRANCH_ORDER}, pass an explicit index: "
+                    f"'{dst}={path}@<branch index>'")
             src_branch = load_gaitset_branch_weights(
                 path, tree[dkey], idx, weights=weights)
             new_tree[dkey] = _merge_matching(tree[dkey], src_branch)
