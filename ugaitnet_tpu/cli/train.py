@@ -94,9 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "dir (or Keras h5); classifier head kept fresh when "
                         "nclasses differs (reference --initnet)")
     p.add_argument("--initbranch", type=str, action="append", default=[],
-                   help="per-branch warm start: mod=path or mod=path@srcmod "
-                        "(repeatable). mod=path@of reproduces the "
-                        "reference's gray-from-OF gaitset init quirk "
+                   help="per-branch warm start: mod=path, mod=path@srcmod "
+                        "or mod=path@<branch index> (repeatable). "
+                        "mod=path@of reproduces the reference's "
+                        "gray-from-OF gaitset init quirk "
                         "(mj_uwyhNets_ba.py:765)")
     p.add_argument("--initepoch", type=str, default="-1",
                    help="checkpoint epoch for --initnet/--initbranch "
