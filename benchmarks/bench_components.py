@@ -112,6 +112,45 @@ def main():
         results[f"triplet_{name}"] = {"fwd_ms": tf_ * 1e3, "bwd_ms": tb * 1e3}
         print(f"  {name}: fwd {tf_*1e3:5.2f} ms  grad {tb*1e3:5.2f} ms")
 
+    # --- flagship train step ---------------------------------------------
+    print("# flagship train step (2-mod gaitset bf16, 120 samples)")
+    from ugaitnet_tpu.core.config import (BranchConfig, ModelConfig,
+                                          TrainConfig)
+    from ugaitnet_tpu.models.network import UGaitNet, init_params
+    from ugaitnet_tpu.train.train_step import (Batch, TrainState,
+                                               make_optimizer,
+                                               make_train_step)
+    tmcfg = ModelConfig(
+        branches=(BranchConfig(kind="gaitset", modality="of"),
+                  BranchConfig(kind="gaitset", modality="gray")),
+        merge="sign_max", nclasses=74, compute_dtype="bfloat16")
+    ttcfg = TrainConfig()
+    tmodel = UGaitNet(tmcfg)
+    tparams = init_params(tmodel, jax.random.PRNGKey(0), batch=2)
+    ttx = make_optimizer(ttcfg)
+    tstate = TrainState(step=jnp.asarray(0, jnp.int32), params=tparams,
+                        opt_state=ttx.init(tparams))
+    tstep = make_train_step(tmodel, ttx, tmcfg, ttcfg)
+    TB = 120
+    tbatch = Batch(
+        volumes=(jnp.asarray(rng.randn(TB, 25, 60, 60, 2)
+                             .astype(np.float32)),
+                 jnp.asarray(rng.randn(TB, 25, 60, 60, 1)
+                             .astype(np.float32))),
+        use_flags=(jnp.ones((TB,), jnp.float32),
+                   jnp.ones((TB,), jnp.float32)),
+        labels=jnp.asarray(np.repeat(np.arange(12), 10).astype(np.int32)))
+    tkey = jax.random.PRNGKey(1)
+    tstate, tm = tstep(tstate, tbatch, tkey)
+    float(tm["loss"])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        tstate, tm = tstep(tstate, tbatch, tkey)
+    float(tm["loss"])
+    tt = (time.perf_counter() - t0) / reps
+    results["train_step"] = {"ms": tt * 1e3, "samples_per_s": TB / tt}
+    print(f"  {tt*1e3:6.1f} ms  ({TB/tt:6.0f} samples/s)")
+
     # --- serving identify latency ----------------------------------------
     print("# serving identify_raw (flagship 2-mod, gallery 2k codes)")
     from ugaitnet_tpu.core.config import BranchConfig, ModelConfig
