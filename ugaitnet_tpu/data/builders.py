@@ -126,7 +126,10 @@ def extract_windows(video: TrackedVideo, modality: str,
         window = frames[i:i + n_frames]
         boxes = video.boxes[i + 1:i + 1 + n_frames]  # OF offset-by-1 parity
         mid = boxes[round(n_frames / 2)]
-        cx = ((mid[1] + mid[3]) / 2.0) * x_scale
+        # the reference rounds each scaled coordinate to int BEFORE the
+        # centroid (generateOFData.py:117-125) — keep the same sub-pixel
+        # behavior so windows resample at identical offsets
+        cx = (np.round(mid[1] * x_scale) + np.round(mid[3] * x_scale)) / 2.0
         shift = 30.0 - cx
 
         planes = np.zeros((n_frames * channels, 60, 60), np.float32)
@@ -160,7 +163,7 @@ def build_dataset(videos: Iterable[TrackedVideo],
         compress_factor = 100.0 if modality == "of" else 1.0
     vols, labels, vids, gaits, cams = [], [], [], [], []
     for vix, video in enumerate(videos):
-        vid = video.video_id if video.video_id else (vix + 1)
+        vid = video.video_id if video.video_id is not None else (vix + 1)
         for planes in extract_windows(video, modality, n_frames, step):
             if modality == "of":
                 vols.append(np.clip(planes, -32767, 32767).astype(np.int16))

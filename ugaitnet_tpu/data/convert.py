@@ -65,6 +65,7 @@ def import_reference_dir(datadir: str, modality: str, name: str = "",
     files = sorted(glob.glob(os.path.join(datadir, "*.h5")))
     vols, labels, vids, gaits, cams = [], [], [], [], []
     cf = 1.0
+    cf_seen = {}
     for path in files:
         s = _read_h5_sample(path)
         if s is None:
@@ -73,6 +74,16 @@ def import_reference_dir(datadir: str, modality: str, name: str = "",
         if data.ndim == 3 and data.shape[0] == data.shape[1]:
             data = np.moveaxis(data, 2, 0)       # (H, W, TC) -> (TC, H, W)
         cf = float(np.asarray(s["compressFactor"]))
+        cf_seen.setdefault(cf, path)
+        if len(cf_seen) > 1:
+            # mixed scales would silently mis-dequantize part of the store
+            # (and the int16->uint8 cast would wrap negative flow values)
+            pair = sorted(cf_seen.items())
+            raise ValueError(
+                f"{datadir}: inconsistent compressFactor across samples: "
+                f"{pair[0][0]:g} ({os.path.basename(pair[0][1])}) vs "
+                f"{pair[1][0]:g} ({os.path.basename(pair[1][1])}); a file "
+                "missing the key reads as 1 — fix or remove it")
         vols.append(data.astype(np.int16 if cf > 1 else np.uint8))
         labels.append(int(np.asarray(s["label"])))
         vids.append(int(np.asarray(s["videoId"])))
@@ -103,6 +114,9 @@ def combine_datasets(primary: GaitDataset, secondary: GaitDataset,
     BothDatasets generator's datadir selector
     (mj_dataGeneratorMMUWYHBothDatasets.py:362-374).
     """
+    if primary.ntype != secondary.ntype:
+        raise ValueError(f"ntype differs: primary {primary.ntype}, "
+                         f"secondary {secondary.ntype}")
     mods = {}
     for m in primary.modality_names:
         if m not in secondary.modality_names:
@@ -110,6 +124,13 @@ def combine_datasets(primary: GaitDataset, secondary: GaitDataset,
         a, b = primary.modalities[m], secondary.modalities[m]
         if a.volumes.shape[1:] != b.volumes.shape[1:]:
             raise ValueError(f"volume shapes differ for {m}")
+        if a.compress_factor != b.compress_factor:
+            raise ValueError(
+                f"{m}: quantization scales differ (primary "
+                f"{a.compress_factor:g}, secondary {b.compress_factor:g}) "
+                "— the joint store keeps one compress_factor, so the "
+                "secondary would dequantize wrongly; rebuild it at the "
+                "primary's scale")
         mods[m] = ModalityStore(
             modality=m,
             volumes=np.concatenate([np.asarray(a.volumes),

@@ -173,7 +173,10 @@ def preprocess_batch(raw: Dict[str, jax.Array], key: jax.Array,
         x = raw[f"raw_{m}"].astype(jnp.float32)
         cf = compress_factors[mi]
         if cf > 1.0:  # quantized (OF)
-            if augmenting:
+            # clip_max <= 0 disables the clip augment entirely, matching
+            # the reference's `if clip_max > 0:` guard (...single.py:316)
+            # — without it, clip_max=0 would wipe every nonzero OF value
+            if augmenting and cfg.of_clip_max > 0:
                 clipped = jnp.where(
                     (jnp.abs(x) > cfg.of_clip_max)
                     | (jnp.abs(x) < cfg.of_clip_min), 1e-8, x)
@@ -232,13 +235,19 @@ class PrefetchLoader:
         self._n = len(sampler)
 
         def producer():
-            for i, idx in enumerate(sampler.epoch()):
-                if self._stop:
-                    return
-                batch = pipe.load(idx, jax.random.fold_in(key, i),
-                                  expand=expand)
-                if not self._put(batch):
-                    return
+            # any exception must reach the consumer: a silently-dead
+            # producer would leave __iter__ parked in q.get() forever
+            try:
+                for i, idx in enumerate(sampler.epoch()):
+                    if self._stop:
+                        return
+                    batch = pipe.load(idx, jax.random.fold_in(key, i),
+                                      expand=expand)
+                    if not self._put(batch):
+                        return
+            except BaseException as e:   # noqa: BLE001 — re-raised below
+                self._put(e)
+                return
             self._put(None)
 
         self._t = threading.Thread(target=producer, daemon=True)
@@ -260,6 +269,8 @@ class PrefetchLoader:
                 item = self._q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             # consumer stopped early (exception / break): release the

@@ -76,6 +76,13 @@ class BalancedGaitSampler:
     def next_batch(self) -> np.ndarray:
         if self.gait_groups is not None:
             return self._next_batch_grouped()
+        # the use counters are BATCH-LOCAL in the reference (this_lab_used /
+        # this_lab_used_rep initialized at the top of every __getitem__,
+        # mj_dataGeneratorMMUWYHsingle_repetitions.py:153-155) while
+        # nextlab_idx / gait2ptr persist — so every batch grants the
+        # current subject a fresh 2*repetition budget
+        self._used = 0
+        self._used_rep = 0
         out: List[int] = []
         while len(out) < self.batch_size:
             for g in self.ugait:
@@ -116,6 +123,9 @@ class BalancedGaitSampler:
         (:170-180; that generator family has no `repetitions`)."""
         groups = self.gait_groups
         ng = len(self.ugait)
+        # batch-local use counter, like the single-regime generator
+        # (mj_dataGeneratorMMUWYHBothDatasets.py:130 this_lab_used = 0)
+        self._used = 0
         out: List[int] = []
         count = np.zeros(ng)
         global_rounds = 0

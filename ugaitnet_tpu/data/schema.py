@@ -96,6 +96,12 @@ class GaitDataset:
             json.dump(meta, f, indent=2)
         for col in ("labels", "video_ids", "gaits", "cams", "set_ids"):
             np.save(os.path.join(basedir, f"{col}.npy"), getattr(self, col))
+        # joint (BothDatasets) datasets carry a per-sample origin column
+        # (combine_datasets); losing it on reload would silently disable
+        # per-dataset normalization stats
+        src = getattr(self, "dataset_source", None)
+        if src is not None:
+            np.save(os.path.join(basedir, "dataset_source.npy"), src)
         for m, s in self.modalities.items():
             np.save(os.path.join(basedir, f"volumes_{m}.npy"), s.volumes)
             np.save(os.path.join(basedir, f"present_{m}.npy"), s.present)
@@ -115,8 +121,12 @@ class GaitDataset:
                                 mmap_mode=mmap_mode),
                 compress_factor=info["compress_factor"],
                 present=np.load(os.path.join(basedir, f"present_{m}.npy")))
-        return cls(name=meta["name"], modalities=mods, ntype=meta["ntype"],
-                   **cols)
+        ds = cls(name=meta["name"], modalities=mods, ntype=meta["ntype"],
+                 **cols)
+        src_path = os.path.join(basedir, "dataset_source.npy")
+        if os.path.exists(src_path):
+            ds.dataset_source = np.load(src_path)
+        return ds
 
 
 def empty_volume_shape(modality: str) -> tuple:

@@ -37,12 +37,26 @@ def _tap(out: Dict[str, jax.Array], typecode: int) -> jax.Array:
     return x
 
 
+_ENCODE_CACHE: Dict[Tuple[int, int], object] = {}
+
+
 def make_encode_fn(model: UGaitNet, typecode: int = 3):
+    # cache per (model config, typecode): eval_all_combos calls
+    # encode_dataset up to 2*(2^nmods - 1) times, and a fresh jit closure
+    # each time would re-trace the identical computation (cold compiles
+    # through the tunnel cost minutes)
+    key = (hash(model.config), typecode)
+    fn = _ENCODE_CACHE.get(key)
+    if fn is not None:
+        return fn
+
     @jax.jit
     def encode(params, volumes, use_flags):
         out = model.apply(params, list(volumes), list(use_flags),
                           train=False)
         return _tap(out, typecode)
+
+    _ENCODE_CACHE[key] = encode
     return encode
 
 

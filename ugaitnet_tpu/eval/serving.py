@@ -90,12 +90,10 @@ class SignatureService:
             else:
                 out = self.model.apply(params, vols, flags, train=False)
                 codes = _tap(out, self.typecode)
-            p2 = jnp.sum(jnp.square(codes), axis=1, keepdims=True)
-            g2 = jnp.sum(jnp.square(gallery), axis=1)
-            d2 = jnp.maximum(
-                p2 + g2[None, :]
-                - 2.0 * jnp.matmul(codes, gallery.T,
-                                   preferred_element_type=jnp.float32), 0.0)
+            # distance + vote shared with the eval protocol's kNN so the
+            # sklearn tie-break parity lives in one place (ops/knn.py)
+            from ugaitnet_tpu.ops.knn import pairwise_l2
+            d2 = pairwise_l2(codes, gallery)
             neg, idx = jax.lax.top_k(-d2, k)
             votes = jax.nn.one_hot(gallery_dense[idx], n_classes,
                                    dtype=jnp.float32)
