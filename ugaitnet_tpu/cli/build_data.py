@@ -95,8 +95,15 @@ def main(argv=None):
         ds = import_reference_dir(args.import_ref, args.modality)
     else:
         from ugaitnet_tpu.data.builders import build_dataset
-        if not args.trackdir or not (args.ofdir or args.videodir):
+        if not args.trackdir:
             raise SystemExit("need --import-ref, --synthetic, or raw dirs")
+        # the OF builder reads .npy flow fields from --ofdir; every other
+        # modality decodes .avi videos from --videodir — accepting the
+        # wrong one would silently pack a 0-sample dataset
+        if args.modality == "of" and not args.ofdir:
+            raise SystemExit("--modality of needs --ofdir")
+        if args.modality != "of" and not args.videodir:
+            raise SystemExit(f"--modality {args.modality} needs --videodir")
         ds = build_dataset(
             _iter_raw_videos(args), args.modality,
             name=f"{args.dataset}_{args.mode}_{args.modality}",

@@ -112,13 +112,21 @@ def main(argv=None):
         return hashlib.sha1(seed.encode()).hexdigest()[:10]
 
     gallery_ds = GaitDataset.load(args.gallery)
-    cache = os.path.join(
-        args.experdir,
-        f"codes_gallery_{ds_tag(args.gallery)}_e{step}_t{args.typecode}"
-        f"_mir{int(args.usemirror)}.npz")
-    gallery = encode_set(model, state.params, gallery_ds, modalities, ecfg,
-                         mirror=args.usemirror, cache_path=cache)
+    gallery = None   # encoded lazily: the allcombos paths build their own
 
+    def get_gallery():
+        nonlocal gallery
+        if gallery is None:
+            cache = os.path.join(
+                args.experdir,
+                f"codes_gallery_{ds_tag(args.gallery)}_e{step}"
+                f"_t{args.typecode}_mir{int(args.usemirror)}.npz")
+            gallery = encode_set(model, state.params, gallery_ds,
+                                 modalities, ecfg, mirror=args.usemirror,
+                                 cache_path=cache)
+        return gallery
+
+    combo_memo = {}
     results = {}
     for probe_dir in args.probes:
         probe_ds = GaitDataset.load(probe_dir)
@@ -126,7 +134,8 @@ def main(argv=None):
         if args.allcombostest or args.allcombos:
             results[name] = eval_all_combos(
                 model, state.params, gallery_ds, probe_ds, modalities, ecfg,
-                combo_gallery=args.allcombos, use_avg=args.useavg)
+                combo_gallery=args.allcombos, use_avg=args.useavg,
+                gallery_memo=combo_memo)
         else:
             # probe codes are cached per test dir like the gallery's
             # (mj_testUWYHGaitNet_open_casiab.py:349-366)
@@ -142,17 +151,19 @@ def main(argv=None):
                                cache_path=probe_cache)
             if args.protocol == "casiab":
                 per_cam = {}
+                gal = get_gallery()
                 for cam in np.unique(probe.cams):
                     sel = probe.cams == cam
                     from ugaitnet_tpu.eval.protocol import EncodedSet
                     sub = EncodedSet(probe.codes[sel], probe.labels[sel],
                                      probe.video_ids[sel], probe.cams[sel])
                     per_cam[int(cam)] = eval_camera_pairs(
-                        gallery, sub, probe_camera=int(cam), knn=args.knn,
-                        cameras=np.unique(gallery.cams).tolist())
+                        gal, sub, probe_camera=int(cam), knn=args.knn,
+                        cameras=np.unique(gal.cams).tolist())
                 results[name] = per_cam
             else:
-                results[name] = eval_openset(gallery, probe, knn=args.knn,
+                results[name] = eval_openset(get_gallery(), probe,
+                                             knn=args.knn,
                                              use_avg=args.useavg)
 
     out = json.dumps(results, indent=2, default=float)

@@ -44,7 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="third modality (e.g. depth) for 3-mod training")
     p.add_argument("--singlemod", action="store_true",
                    help="single-modality net (uses --mod0 only)")
-    p.add_argument("--nclasses", type=int, default=74)
+    p.add_argument("--nclasses", type=int, default=None,
+                   help="default 74 (8 with --synthetic)")
     p.add_argument("--gaitset", action="store_true", default=True)
     p.add_argument("--no-gaitset", dest="gaitset", action="store_false")
     p.add_argument("--use3d", action="store_true",
@@ -161,14 +162,18 @@ def main(argv=None):
     from ugaitnet_tpu.data.synthetic import make_synthetic_dataset
     from ugaitnet_tpu.train.trainer import Trainer, experiment_name
 
+    if args.nclasses is None:
+        # --synthetic defaults to a smoke-sized 8 classes so the module
+        # docstring's example runs out of the box; real data keeps the
+        # reference's 74
+        args.nclasses = 8 if args.synthetic else 74
     mcfg, dcfg, tcfg = configs_from_args(args)
     if args.synthetic:
-        ds = make_synthetic_dataset(
-            num_subjects=max(args.nclasses, 2) if args.nclasses <= 16 else 8,
-            modalities=tuple(b.modality for b in mcfg.branches))
-        mcfg = mcfg if mcfg.nclasses <= 16 else None
-        if mcfg is None:
+        if args.nclasses > 16:
             raise SystemExit("--synthetic needs --nclasses <= 16")
+        ds = make_synthetic_dataset(
+            num_subjects=max(args.nclasses, 2),
+            modalities=tuple(b.modality for b in mcfg.branches))
     else:
         if not args.datadir:
             raise SystemExit("--datadir or --synthetic required")
@@ -182,9 +187,9 @@ def main(argv=None):
     print(f"* experiment dir: {experdir}", flush=True)
 
     mesh = None
-    if args.ndevices:
+    if tcfg.dp_devices:
         from ugaitnet_tpu.parallel.sharding import make_mesh
-        mesh = make_mesh(args.ndevices)
+        mesh = make_mesh(tcfg.dp_devices)
 
     norm_stats = None
     if args.normstats:

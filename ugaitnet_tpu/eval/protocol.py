@@ -156,21 +156,34 @@ def modality_combos(nmods: int) -> List[Tuple[float, ...]]:
 def eval_all_combos(model: UGaitNet, params, gallery_ds: GaitDataset,
                     probe_ds: GaitDataset, modalities: Sequence[str],
                     cfg: EvalConfig, combo_gallery: bool = False,
-                    use_avg: bool = True) -> Dict[str, Dict[str, float]]:
+                    use_avg: bool = True,
+                    gallery_memo: Optional[Dict] = None
+                    ) -> Dict[str, Dict[str, float]]:
     """Probe every modality-presence combo (--allcombostest); optionally
-    build the gallery from all combos stacked (--allcombos)."""
-    if combo_gallery:
-        parts = [encode_set(model, params, gallery_ds, modalities, cfg,
-                            use_mods=c) for c in modality_combos(len(modalities))]
-        gallery = EncodedSet(
-            codes=np.concatenate([p.codes for p in parts]),
-            labels=np.concatenate([p.labels for p in parts]),
-            video_ids=np.concatenate([p.video_ids for p in parts]),
-            cams=np.concatenate([p.cams for p in parts]))
-    else:
-        gallery = encode_set(model, params, gallery_ds, modalities, cfg)
+    build the gallery from all combos stacked (--allcombos).
 
-    merged_gallery = _merge_codes_per_video(gallery, use_avg)
+    gallery_memo: pass the same dict across calls (one per probe dir) to
+    encode the gallery once instead of per probe set — a combo gallery is
+    2^n - 1 full-gallery forward passes."""
+    if gallery_memo is not None and "gallery" in gallery_memo:
+        gallery = gallery_memo["gallery"]
+        merged_gallery = gallery_memo["merged"]
+    else:
+        if combo_gallery:
+            parts = [encode_set(model, params, gallery_ds, modalities, cfg,
+                                use_mods=c)
+                     for c in modality_combos(len(modalities))]
+            gallery = EncodedSet(
+                codes=np.concatenate([p.codes for p in parts]),
+                labels=np.concatenate([p.labels for p in parts]),
+                video_ids=np.concatenate([p.video_ids for p in parts]),
+                cams=np.concatenate([p.cams for p in parts]))
+        else:
+            gallery = encode_set(model, params, gallery_ds, modalities, cfg)
+        merged_gallery = _merge_codes_per_video(gallery, use_avg)
+        if gallery_memo is not None:
+            gallery_memo["gallery"] = gallery
+            gallery_memo["merged"] = merged_gallery
     results = {}
     for combo in modality_combos(len(modalities)):
         probe = encode_set(model, params, probe_ds, modalities, cfg,

@@ -78,7 +78,11 @@ def verif_pair_loss(emb1: jax.Array, emb2: jax.Array, labels: jax.Array,
     pos = (labels == 1).astype(jnp.float32)
     neg = (labels == 0).astype(jnp.float32)
     xpos = 0.5 * jnp.sum(res2 * pos)
-    xneg = 0.5 * jnp.square(jnp.maximum(0.0, margin - jnp.sqrt(jnp.sum(res2 * neg))))
+    # eps inside the sqrt: d(sqrt)/dx is inf at 0, and a batch with no
+    # negative pairs (or identical gated-off embeddings) would NaN the
+    # pair train step's gradients
+    xneg = 0.5 * jnp.square(jnp.maximum(
+        0.0, margin - jnp.sqrt(jnp.sum(res2 * neg) + 1e-12)))
     return xpos + xneg
 
 

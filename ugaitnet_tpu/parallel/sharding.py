@@ -29,6 +29,12 @@ DATA_AXIS = "data"
 def make_mesh(n_devices: int = 0, devices: Optional[Sequence] = None) -> Mesh:
     devs = list(devices if devices is not None else jax.devices())
     if n_devices and n_devices > 0:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devs)} device(s) are available "
+                f"({[str(d) for d in devs]}); a silent fallback would "
+                "train with a different effective batch than sized for")
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (DATA_AXIS,))
 

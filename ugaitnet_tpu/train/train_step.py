@@ -48,10 +48,21 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         return optax.inject_hyperparams(optax.adamw)(
             learning_rate=cfg.lr, weight_decay=1e-4)
     if name == "sgd":
-        # Keras SGD(lr, momentum, decay=1e-05): inverse-time lr decay
-        sched = lambda count: cfg.lr / (1.0 + 1e-5 * count)
-        return optax.inject_hyperparams(optax.sgd)(
-            learning_rate=sched, momentum=cfg.momentum)
+        # Keras SGD(lr, momentum, decay=1e-05): effective lr is
+        # base_lr / (1 + 1e-5 * iter).  The decay rides scale_by_schedule
+        # and the BASE lr is the injected (settable) hyperparam — passing
+        # the whole schedule as learning_rate would make inject_hyperparams
+        # recompute it every step and silently discard set_lr (so plateau
+        # reductions and the fine-tune lr reset were no-ops for sgd).
+        # Keras applies its decay to the CURRENT base lr the same way.
+        def sgd_decay(learning_rate, momentum):
+            return optax.chain(
+                optax.trace(decay=momentum, nesterov=False),
+                optax.scale_by_schedule(
+                    lambda count: 1.0 / (1.0 + 1e-5 * count)),
+                optax.scale(-learning_rate))
+        return optax.inject_hyperparams(sgd_decay)(
+            learning_rate=cfg.lr, momentum=cfg.momentum)
     raise ValueError(f"unknown optimizer {cfg.optimizer}")
 
 

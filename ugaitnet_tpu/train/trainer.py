@@ -252,6 +252,11 @@ class Trainer:
         early = EarlyStopOnAccuracy(0.99)
 
         while epoch < tcfg.epochs:
+            if len(sampler) == 0:
+                raise ValueError(
+                    f"training split has {len(sampler.labels)} samples — "
+                    f"fewer than batch_size={dcfg.batch_size}; no batch "
+                    "can be formed (the run would silently do nothing)")
             state, m = self._epoch(state, pipe, sampler, epoch, seed)
             epoch += 1
             m["lr"] = get_lr(state)
@@ -297,12 +302,19 @@ class Trainer:
                                                dcfg.batch_size,
                                                dcfg.repetitions, seed=seed,
                                                gait_groups=dcfg.gait_groups)
+            # the reference fine-tunes initial_epoch=epochs -> epochs+extra
+            # (ft_epochs = epochs + extra_epochs with initial_epoch=epochs,
+            # mains/..._CasiaB.py:551-558) — i.e. EXACTLY extra_epochs,
+            # even when early stopping ended the main loop sooner
+            epoch = max(epoch, tcfg.epochs)
             target = tcfg.epochs + tcfg.extra_epochs
             while epoch < target:
                 state, m = self._epoch(state, full_pipe, full_sampler,
                                        epoch, seed)
                 epoch += 1
                 self.logger.log(epoch, m, prefix="finetune/")
-            ckpt.save_checkpoint(self.experdir, epoch, state)
+                if (epoch % tcfg.save_every_epochs == 0
+                        or epoch == target):
+                    ckpt.save_checkpoint(self.experdir, epoch, state)
 
         return state
