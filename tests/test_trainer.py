@@ -119,3 +119,30 @@ def test_experiment_name_encodes_config():
     mcfg, dcfg, tcfg = tiny_cfgs()
     name = experiment_name(mcfg, dcfg, tcfg)
     assert "of+gray" in name and "sign_max" in name and "bs008" in name
+
+
+def test_sgd_set_lr_sticks():
+    """Regression: passing the Keras decay schedule as the injected
+    learning_rate made inject_hyperparams recompute it every step, so
+    set_lr (plateau reductions, the fine-tune lr reset) was a silent
+    no-op for sgd.  The base lr must be settable with the 1e-5
+    inverse-time decay still applied on top."""
+    import jax.numpy as jnp
+
+    from ugaitnet_tpu.core.config import TrainConfig
+    from ugaitnet_tpu.train.train_step import (TrainState, get_lr,
+                                               make_optimizer, set_lr)
+    tx = make_optimizer(TrainConfig(optimizer="sgd", lr=1e-4, momentum=0.0))
+    p = {"w": jnp.ones(4)}
+    st = TrainState(step=jnp.asarray(0, jnp.int32), params=p,
+                    opt_state=tx.init(p))
+    g = {"w": jnp.ones(4)}
+    u, o = tx.update(g, st.opt_state, p)
+    np.testing.assert_allclose(float(u["w"][0]), -1e-4, rtol=1e-4)
+    st = TrainState(step=st.step, params=p, opt_state=o)
+    st = set_lr(st, 5e-6)
+    assert np.isclose(get_lr(st), 5e-6)
+    u, _ = tx.update(g, st.opt_state, p)
+    # decay at count=1: 5e-6 / (1 + 1e-5)
+    np.testing.assert_allclose(float(u["w"][0]), -5e-6 / (1 + 1e-5),
+                               rtol=1e-4)
