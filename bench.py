@@ -72,8 +72,10 @@ def main():
 
     # roofline: model FLOPs per clip / chip peak
     try:
-        lowered = jax.jit(embed).lower(params, raw)
-        cost = lowered.compile().cost_analysis()
+        # embed is already jitted — re-wrapping would compile the whole
+        # program a second time (on a cache miss that is ~10 min through
+        # the tunnel)
+        cost = embed.lower(params, raw).compile().cost_analysis()
         flops_batch = float(cost.get("flops", 0.0)) if cost else 0.0
     except Exception:
         flops_batch = 0.0

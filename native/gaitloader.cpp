@@ -12,8 +12,8 @@
 // framework's equivalent of a native data loader.
 //
 // Exposed C ABI (see ugaitnet_tpu/data/native.py):
-//   ug_gather_rows(src, row_bytes, idx, n, out, nthreads)
-//   ug_gather_rows_multi(...)  — several modality arrays in one call
+//   ug_gather_rows(src, nrows, row_bytes, idx, n, out, nthreads) -> int
+//     (0 = ok, 1 = an index was out of [0, nrows) — nothing copied)
 //   ug_version()
 
 #include <atomic>
@@ -133,29 +133,23 @@ class Pool {
 
 extern "C" {
 
-int ug_version() { return 2; }
+int ug_version() { return 3; }
 
 // Copy rows idx[0..n) of src (row_bytes each) into out contiguously.
-void ug_gather_rows(const uint8_t* src, int64_t row_bytes,
-                    const int64_t* idx, int64_t n, uint8_t* out,
-                    int nthreads) {
+// Indices are validated up front (an OOB index would otherwise be a
+// silent out-of-bounds memcpy where the numpy fallback raises); returns
+// 1 without copying anything if any index is outside [0, nrows).
+int ug_gather_rows(const uint8_t* src, int64_t nrows, int64_t row_bytes,
+                   const int64_t* idx, int64_t n, uint8_t* out,
+                   int nthreads) {
+  for (int64_t i = 0; i < n; ++i) {
+    if (idx[i] < 0 || idx[i] >= nrows) return 1;
+  }
   Pool::instance().run(n, nthreads, [&](int64_t i) {
     std::memcpy(out + i * row_bytes, src + idx[i] * row_bytes,
                 (size_t)row_bytes);
   });
-}
-
-// Gather the same index list from several arrays (one per modality) so a
-// whole multimodal batch is one pool pass.
-void ug_gather_rows_multi(const uint8_t** srcs, const int64_t* row_bytes,
-                          int nmods, const int64_t* idx, int64_t n,
-                          uint8_t** outs, int nthreads) {
-  Pool::instance().run(n * nmods, nthreads, [&](int64_t w) {
-    int64_t m = w / n;
-    int64_t i = w % n;
-    std::memcpy(outs[m] + i * row_bytes[m], srcs[m] + idx[i] * row_bytes[m],
-                (size_t)row_bytes[m]);
-  });
+  return 0;
 }
 
 }  // extern "C"

@@ -40,3 +40,19 @@ def test_fallback_without_native(monkeypatch):
     src = np.arange(20, dtype=np.float32).reshape(5, 4)
     out = native.gather_rows(src, np.array([4, 0], dtype=np.int64))
     np.testing.assert_array_equal(out, src[[4, 0]])
+
+
+def test_native_gather_bounds_checked():
+    """Regression: the native path used to memcpy out-of-bounds where the
+    numpy fallback raised; it must now reject bad indices up front."""
+    import pytest
+
+    from ugaitnet_tpu.data.native import gather_rows, native_available
+    if not native_available():
+        pytest.skip("native lib unavailable")
+    src = np.arange(20, dtype=np.int16).reshape(5, 4)
+    for bad in ([5], [-1]):
+        with pytest.raises(IndexError):
+            gather_rows(src, np.asarray(bad, np.int64))
+    np.testing.assert_array_equal(
+        gather_rows(src, np.asarray([4, 0], np.int64)), src[[4, 0]])

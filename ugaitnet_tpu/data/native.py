@@ -24,12 +24,25 @@ _NATIVE_DIR = os.path.join(
 _SO_PATH = os.path.join(_NATIVE_DIR, "libgaitloader.so")
 
 
+_ABI_VERSION = 3          # must match ug_version() in gaitloader.cpp
+_CPP_PATH = os.path.join(_NATIVE_DIR, "gaitloader.cpp")
+
+
 def _build() -> bool:
     try:
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+        subprocess.run(["make", "-C", _NATIVE_DIR, "-B"], check=True,
                        capture_output=True, timeout=120)
         return os.path.exists(_SO_PATH)
     except Exception:
+        return False
+
+
+def _needs_rebuild() -> bool:
+    if not os.path.exists(_SO_PATH):
+        return True
+    try:   # stale binary after a source edit
+        return os.path.getmtime(_CPP_PATH) > os.path.getmtime(_SO_PATH)
+    except OSError:
         return False
 
 
@@ -40,16 +53,28 @@ def get_lib() -> Optional[ctypes.CDLL]:
     _TRIED = True
     if os.environ.get("UGAITNET_NO_NATIVE"):
         return None
-    if not os.path.exists(_SO_PATH) and not _build():
+    if _needs_rebuild() and not _build():
         return None
-    try:
+
+    def load():
         lib = ctypes.CDLL(_SO_PATH)
         lib.ug_gather_rows.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int]
-        lib.ug_gather_rows.restype = None
+        lib.ug_gather_rows.restype = ctypes.c_int
         lib.ug_version.restype = ctypes.c_int
+        return lib
+
+    try:
+        lib = load()
+        if lib.ug_version() != _ABI_VERSION:
+            # committed/stale binary from an older ABI: rebuild once
+            if _build():
+                lib = load()
+            if lib.ug_version() != _ABI_VERSION:
+                _LIB = None
+                return None
         _LIB = lib
     except OSError:
         _LIB = None
@@ -81,7 +106,13 @@ def gather_rows(src: np.ndarray, idx: np.ndarray,
         return out
     src_ptr = src.ctypes.data_as(ctypes.c_void_p)
     out_ptr = out.ctypes.data_as(ctypes.c_void_p)
-    lib.ug_gather_rows(src_ptr, row_bytes,
-                       idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                       n, out_ptr, nthreads)
+    rc = lib.ug_gather_rows(
+        src_ptr, int(src.shape[0]), row_bytes,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, out_ptr, nthreads)
+    if rc != 0:
+        # match the numpy fallback's behavior instead of an OOB memcpy
+        raise IndexError(
+            f"gather index out of range [0, {src.shape[0]}) "
+            f"(min {idx.min()}, max {idx.max()})")
     return out

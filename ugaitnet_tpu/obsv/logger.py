@@ -40,12 +40,16 @@ class MetricsLogger:
                 self._tb = None
 
     def log(self, step: int, metrics: Dict[str, Any], prefix: str = "") -> None:
-        rec = {"step": int(step), "time": time.time()}
+        rec = {}
         for k, v in metrics.items():
             try:
                 rec[prefix + k] = float(v)
             except (TypeError, ValueError):
                 continue
+        # bookkeeping fields win: a metric literally named "time"/"step"
+        # must not overwrite the record timestamp/step
+        rec["step"] = int(step)
+        rec["time"] = time.time()
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
         if self._tb is not None:
@@ -113,5 +117,13 @@ def read_metrics(experdir: str) -> list:
     path = os.path.join(experdir, "metrics.jsonl")
     if not os.path.exists(path):
         return []
+    out = []
     with open(path) as f:
-        return [json.loads(l) for l in f if l.strip()]
+        for line in f:
+            if not line.strip():
+                continue
+            try:
+                out.append(json.loads(line))
+            except ValueError:
+                continue  # torn tail from a crash mid-write
+    return out

@@ -43,7 +43,6 @@ def _collect_weights(h5path: str) -> Dict[str, List[np.ndarray]]:
         for lname in names:
             if lname not in root:
                 continue
-            g = f"{lname}" if lname in root else None
             grp = root[lname]
             wnames = [n.decode() if isinstance(n, bytes) else n
                       for n in grp.attrs.get("weight_names", [])]
@@ -53,12 +52,23 @@ def _collect_weights(h5path: str) -> Dict[str, List[np.ndarray]]:
                 for part in wn.split("/"):
                     node = node[part]
                 ws.append(np.asarray(node))
-            if not ws:  # fallback: walk datasets
+            if not ws:  # fallback: walk datasets (no weight_names attr)
+                named = []
+
                 def visit(name, obj):
                     if hasattr(obj, "shape") and obj.shape is not None:
-                        ws.append(np.asarray(obj))
+                        named.append((name, np.asarray(obj)))
                 grp.visititems(lambda n, o: visit(n, o)
                                if hasattr(o, "dtype") else None)
+                # h5py visits alphabetically, which puts 'bias' before
+                # 'kernel'; every loader takes ws[0] as the kernel, so
+                # order by Keras convention instead
+                rank = {"kernel": 0, "bias": 1}
+
+                def key(item):
+                    leaf = item[0].rsplit("/", 1)[-1].split(":")[0]
+                    return (rank.get(leaf, 2), item[0])
+                ws = [a for _, a in sorted(named, key=key)]
             if ws:
                 out[lname] = ws
     return out

@@ -123,8 +123,16 @@ def warm_start_branches(params: Any, sources: Dict[str, Tuple[str, str]],
                 idx = int(src_mod)
             elif nh5 == 1:
                 idx = 0
-            else:
+            elif src_mod in _REF_BRANCH_ORDER:
+                # NOTE: assumes the source net's modalities are a prefix of
+                # the canonical order — true for every reference main; for
+                # anything else pass '@<branch index>' explicitly
                 idx = _REF_BRANCH_ORDER.index(src_mod)
+            else:
+                raise ValueError(
+                    f"unknown source modality {src_mod!r}; use one of "
+                    f"{_REF_BRANCH_ORDER} or an explicit "
+                    f"'{dst}={path}@<branch index>'")
             if not 0 <= idx < nh5:
                 raise ValueError(
                     f"{path} has {nh5} branch(es); source {src_mod!r} "
@@ -159,7 +167,12 @@ def parse_initbranch_specs(specs, modalities) -> Dict[str, Tuple[str, str]]:
         dst, path = s.split("=", 1)
         src = dst
         if "@" in path:
-            path, src = path.rsplit("@", 1)
+            head, tail = path.rsplit("@", 1)
+            # only treat the suffix as a source selector when it looks
+            # like one — checkpoint paths may legitimately contain '@'
+            if tail.isdigit() or tail in ("of", "gray", "depth",
+                                          "silhouette", "rgb"):
+                path, src = head, tail
         if dst not in modalities:
             raise ValueError(
                 f"--initbranch modality {dst!r} not in net ({modalities})")
