@@ -163,3 +163,40 @@ def test_three_mod_dropout_distribution():
     kept = copy1[even].sum(1)
     frac_two_kept = (kept == 2).mean()
     assert 0.45 < frac_two_kept < 0.88  # ref: P(1 disabled) = 2/3
+
+
+def test_preprocess_helpers_match_pipeline():
+    """Drift guard: ops/preprocess's per-volume helpers must produce the
+    same numbers as the fused data/pipeline.preprocess_batch on the
+    non-augmented path (both re-derive __load_dd)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ugaitnet_tpu.core.config import DataConfig
+    from ugaitnet_tpu.data.pipeline import preprocess_batch
+    from ugaitnet_tpu.ops.preprocess import normalize_volume, planes_to_frames
+
+    rng = np.random.RandomState(3)
+    B = 4
+    raw = {
+        "raw_of": jnp.asarray(
+            rng.randint(-3000, 3000, (B, 50, 60, 60)).astype(np.int16)),
+        "raw_gray": jnp.asarray(
+            rng.randint(0, 255, (B, 25, 60, 60)).astype(np.uint8)),
+        "present_of": jnp.ones((B,), jnp.float32),
+        "present_gray": jnp.ones((B,), jnp.float32),
+        "labels": jnp.zeros((B,), jnp.int32),
+    }
+    vols, flags, _ = preprocess_batch(
+        raw, jax.random.PRNGKey(0), ("of", "gray"), (2, 1), (100.0, 1.0),
+        2, 1, False, DataConfig(augment=False))
+    want_of = planes_to_frames(
+        normalize_volume(raw["raw_of"], "of", ntype=2, compress_factor=100.0),
+        2)
+    want_gray = planes_to_frames(
+        normalize_volume(raw["raw_gray"], "gray"), 1)
+    # atol: values crossing 0 (x/255 - 0.5) make pure rtol meaningless
+    np.testing.assert_allclose(np.asarray(vols[0]), np.asarray(want_of),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(vols[1]), np.asarray(want_gray),
+                               rtol=1e-6, atol=1e-7)

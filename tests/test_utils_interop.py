@@ -105,3 +105,30 @@ def test_xplane_summary_parses_empty(tmp_path):
     from ugaitnet_tpu.obsv.profiling import summarize_xplane
     with pytest.raises(FileNotFoundError):
         summarize_xplane(str(tmp_path))
+
+
+def test_tfrecord_negative_int64_and_data_crc(tmp_path):
+    """Negative Int64List values are two's-complement 10-byte varints (the
+    unsigned decode returned 2^64-1 for -1); payload crc verification is
+    opt-in (python-loop cost) but must still catch corruption."""
+    tf = pytest.importorskip("tensorflow")
+    from ugaitnet_tpu.data.tfrecord import iter_tfrecords, parse_example
+
+    ex = tf.train.Example(features=tf.train.Features(feature={
+        "videoId": tf.train.Feature(
+            int64_list=tf.train.Int64List(value=[-1, 3])),
+    }))
+    path = str(tmp_path / "neg.tfrecord")
+    with tf.io.TFRecordWriter(path) as w:
+        w.write(ex.SerializeToString())
+    payloads = list(iter_tfrecords(path, verify_data_crc=True))
+    parsed = parse_example(payloads[0])
+    assert parsed["videoId"] == [-1, 3]
+
+    # corrupt one payload byte: the data crc must catch it when asked
+    raw = bytearray(open(path, "rb").read())
+    raw[14] ^= 0xFF
+    bad = str(tmp_path / "bad.tfrecord")
+    open(bad, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="corrupt"):
+        list(iter_tfrecords(bad, verify_data_crc=True))

@@ -72,9 +72,14 @@ class TumGaidMetadata:
 
 def split_train_val_by_subject(labels: np.ndarray, perc: float = 0.1
                                ) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-subject tail holdout: every class keeps perc of its samples for
-    validation (mj_splitTrainValGait parity: nval_ps = perc*N/nclasses of
-    each subject's records, taken from the end)."""
+    """Per-subject tail holdout (mj_splitTrainValGait parity): the last
+    nval_ps = perc*N/nclasses records of EVERY subject go to validation.
+
+    Reference quirk kept as-is (utils/mj_utils.py:40-52): nval_ps is a
+    GLOBAL average, so a subject with fewer than nval_ps records loses all
+    of them to validation (cut goes negative) — heavily imbalanced label
+    sets can end up with zero training samples for small classes.  Prefer
+    split_train_val_by_video for real runs."""
     labels = np.asarray(labels)
     ulabels = np.unique(labels)
     nval_ps = int(perc * len(labels) / max(len(ulabels), 1))

@@ -25,7 +25,7 @@ the reference (no training main), mirrored here for completeness.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 GAIT_CODES = {"nm": 0, "bg": 1, "cl": 2,   # CASIA-B
               "n": 0, "b": 1, "s": 2}       # TUM-GAID
@@ -43,8 +43,15 @@ class PartitionSpec:
 
     @property
     def gait_of(self) -> Dict[str, int]:
-        return {c: GAIT_CODES[c.rstrip("0123456789-").rstrip("-")]
-                for c in self.conditions}
+        # OU-MVLP conditions are bare sequence numbers ("00", "01") with a
+        # single walking condition — gait 1 like the reference's gaits
+        # list (datasetInfo.py:274-276); named conditions strip to their
+        # code prefix
+        out = {}
+        for c in self.conditions:
+            key = c.rstrip("0123456789-").rstrip("-")
+            out[c] = GAIT_CODES[key] if key else 1
+        return out
 
 
 CASIAB_CAMERAS = tuple(range(0, 181, 18))
@@ -59,7 +66,9 @@ TUM_CONDITIONS = tuple([f"n{i:02d}" for i in range(1, 7)]
 TUM_ELAPSED_CONDITIONS = tuple([f"n{i:02d}" for i in range(7, 13)])
 
 
-def get_partition(dataset: str, split: str) -> PartitionSpec:
+def get_partition(dataset: str, split: str,
+                  subject_ids: Optional[Sequence[int]] = None
+                  ) -> PartitionSpec:
     dataset = dataset.lower()
     if dataset in ("casiab", "casia_b"):
         if split == "train":
@@ -99,8 +108,23 @@ def get_partition(dataset: str, split: str) -> PartitionSpec:
 
     if dataset in ("oumvlp", "ou-mvlp", "ou_mvlp"):
         cams = tuple(list(range(0, 91, 15)) + list(range(180, 271, 15)))
-        ids = tuple(range(1, 10308))
-        return PartitionSpec("oumvlp", split, ids, ("00", "01"), cams,
+        # the reference splits OU-MVLP subjects by the dataset's official
+        # ID_list_train.txt / ID_list_test.txt (5153 / 5154 subjects,
+        # datasetInfo.py:260-285) — files that ship with OU-MVLP, not with
+        # this repo.  Pass their contents via subject_ids; returning all
+        # 10307 ids for a train/ft split would silently mix gallery and
+        # training subjects.
+        if split in ("train", "ft") and subject_ids is None:
+            raise ValueError(
+                "OU-MVLP train/ft splits need subject_ids from the "
+                "dataset's ID_list_train.txt / ID_list_test.txt "
+                "(5153/5154 subjects, reference datasetInfo.py:260-285)")
+        ids = tuple(subject_ids) if subject_ids is not None else tuple(
+            range(1, 10308))
+        # reference patterns: train uses both sequences, ft '-01-'
+        # (gallery), test '-00-' (probes) — datasetInfo.py:270-303
+        conds = {"train": ("00", "01"), "ft": ("01",)}.get(split, ("00",))
+        return PartitionSpec("oumvlp", split, ids, conds, cams,
                              1280, 980)
 
     raise ValueError(f"unknown dataset {dataset}")

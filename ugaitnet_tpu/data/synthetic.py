@@ -55,8 +55,12 @@ def make_synthetic_dataset(num_subjects: int = 8,
             gait = gait_types[v % len(gait_types)]
             # deterministic spread so every subject appears in every camera
             # once videos_per_subject >= num_cams (the camera-pair protocol
-            # needs each subject present in single-camera galleries)
-            cam = v % num_cams
+            # needs each subject present in single-camera galleries).  The
+            # subject offset decorrelates camera from gait — with cam =
+            # v % num_cams and len(gait_types) == num_cams every gait
+            # would be welded to one camera, degenerating any
+            # fixed-condition/other-camera protocol selection
+            cam = (v + s) % num_cams
             for _ in range(subseqs_per_video):
                 labels[i] = s + 1          # raw ids start at 1 like CASIA-B
                 video_ids[i] = vid

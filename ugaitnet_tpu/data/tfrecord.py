@@ -39,8 +39,14 @@ def _masked_crc(data: bytes) -> int:
     return ((((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF)
 
 
-def iter_tfrecords(path: str, verify_crc: bool = True) -> Iterator[bytes]:
-    """Yield raw record payloads from a TFRecord file."""
+def iter_tfrecords(path: str, verify_crc: bool = True,
+                   verify_data_crc: bool = False) -> Iterator[bytes]:
+    """Yield raw record payloads from a TFRecord file.
+
+    The 12-byte length header's crc is always checked when verify_crc
+    (cheap); the PAYLOAD crc walks every byte in python (~seconds per
+    multi-MB gait record on a one-core host), so it is opt-in via
+    verify_data_crc."""
     with open(path, "rb") as f:
         while True:
             header = f.read(12)
@@ -52,12 +58,18 @@ def iter_tfrecords(path: str, verify_crc: bool = True) -> Iterator[bytes]:
                 raise ValueError(f"corrupt length crc in {path}")
             payload = f.read(length)
             data_crc = struct.unpack("<I", f.read(4))[0]
-            if verify_crc and _masked_crc(payload) != data_crc:
+            if verify_data_crc and _masked_crc(payload) != data_crc:
                 raise ValueError(f"corrupt data crc in {path}")
             yield payload
 
 
 # ---- minimal tf.train.Example wire parsing --------------------------------
+
+def _to_signed64(v: int) -> int:
+    """Int64List varints are two's-complement: a negative int64 arrives as
+    a 10-byte varint decoding to v + 2^64."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
 
 def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
     result = shift = 0
@@ -128,9 +140,9 @@ def parse_example(payload: bytes) -> Dict[str, object]:
                                     pos = 0
                                     while pos < len(lv):
                                         v, pos = _read_varint(lv, pos)
-                                        ints.append(v)
+                                        ints.append(_to_signed64(v))
                                 elif lf == 1:
-                                    ints.append(lv)
+                                    ints.append(_to_signed64(lv))
                             value = ints
             if name is not None:
                 out[name] = value

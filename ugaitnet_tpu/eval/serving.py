@@ -71,6 +71,17 @@ class SignatureService:
         # optional int8 encode (ops/quantize.py): requires pre-quantized
         # params (calibrated on representative volumes)
         self.quantized = quantized
+        if quantized and (typecode != 3
+                          or model.config.extra_dense):
+            # encode_int8 emits the flattened signature only; a service
+            # configured for another tap would silently compare
+            # incompatible embedding spaces between fp32 galleries and
+            # int8 probes
+            raise ValueError(
+                "quantized=True supports typecode=3 on nets without "
+                "extra_dense (the int8 path encodes the flattened "
+                f"signature); got typecode={typecode}, extra_dense="
+                f"{model.config.extra_dense}")
         if quantized:
             from ugaitnet_tpu.ops.quantize import quantize_model_params
             if calib_volumes is None:

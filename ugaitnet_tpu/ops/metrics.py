@@ -29,10 +29,12 @@ def roc_curve_scores(labels: np.ndarray, scores: np.ndarray):
     threshold_idxs = np.r_[distinct, labels.size - 1]
     tps = np.cumsum(labels == 1)[threshold_idxs].astype(np.float64)
     fps = (threshold_idxs + 1) - tps
-    n_pos = max((labels == 1).sum(), 1)
-    n_neg = max((labels != 1).sum(), 1)
-    tpr = tps / n_pos
-    fpr = fps / n_neg
+    n_pos = (labels == 1).sum()
+    n_neg = (labels != 1).sum()
+    # single-class input: rates are undefined — emit nan like sklearn's
+    # roc_curve (the old clamp-to-1 fabricated a confident EER of 0 or 1)
+    tpr = tps / n_pos if n_pos else np.full_like(tps, np.nan)
+    fpr = fps / n_neg if n_neg else np.full_like(fps, np.nan)
     thresholds = scores[threshold_idxs]
     return fpr, tpr, thresholds
 
@@ -40,6 +42,8 @@ def roc_curve_scores(labels: np.ndarray, scores: np.ndarray):
 def eer_verif_dist(gt_labels: np.ndarray, distances: np.ndarray) -> Tuple[float, float]:
     """EER + threshold, mj_eerVerifDist parity (ROC over negative distances)."""
     fpr, tpr, thr = roc_curve_scores(gt_labels, -np.asarray(distances))
+    if np.all(np.isnan(fpr)) or np.all(np.isnan(tpr)):
+        return float("nan"), float("nan")
     fnr = 1.0 - tpr
     ix = int(np.nanargmin(np.abs(fnr - fpr)))
     return float(fpr[ix]), float(-thr[ix])

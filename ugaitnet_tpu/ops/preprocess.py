@@ -18,6 +18,12 @@ Layout: the reference keeps (T*C, H, W) channel-planes and reshapes
 interleaved OF planes into (25, H, W, 2) for the gaitset branch
 (...single.py:434-442). We emit (T, H, W, C) directly — NHWC per frame, the
 native TPU conv layout.
+
+NOTE: the production train/serve path is data/pipeline.preprocess_batch,
+which fuses these same rules with augmentation, per-sample clip coins and
+per-dataset standardization in one jit.  The per-volume helpers here are
+the composable public API; tests/test_data.py pins them against
+preprocess_batch so the two cannot drift.
 """
 
 from __future__ import annotations
