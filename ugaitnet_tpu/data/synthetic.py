@@ -53,14 +53,15 @@ def make_synthetic_dataset(num_subjects: int = 8,
         for v in range(videos_per_subject):
             vid = s * videos_per_subject + v
             gait = gait_types[v % len(gait_types)]
-            # deterministic spread so every subject appears in every camera
-            # once videos_per_subject >= num_cams (the camera-pair protocol
-            # needs each subject present in single-camera galleries).  The
-            # subject offset decorrelates camera from gait — with cam =
-            # v % num_cams and len(gait_types) == num_cams every gait
-            # would be welded to one camera, degenerating any
-            # fixed-condition/other-camera protocol selection
-            cam = (v + s) % num_cams
+            # deterministic spread with two properties the protocols need:
+            # (1) the camera SET is identical for every subject (a probe
+            # subject must exist in single-camera galleries — a
+            # subject-dependent spread capped camera-pair rank-1 at ~0.3
+            # because most galleries simply lacked the probe subject);
+            # (2) camera decorrelates from gait once videos_per_subject
+            # exceeds len(gait_types) (the v//len phase shift breaks the
+            # v % num_cams == v % len(gait_types) bijection).
+            cam = (v + v // len(gait_types)) % num_cams
             for _ in range(subseqs_per_video):
                 labels[i] = s + 1          # raw ids start at 1 like CASIA-B
                 video_ids[i] = vid
