@@ -121,7 +121,7 @@ def test_tfrecord_negative_int64_and_data_crc(tmp_path):
     path = str(tmp_path / "neg.tfrecord")
     with tf.io.TFRecordWriter(path) as w:
         w.write(ex.SerializeToString())
-    payloads = list(iter_tfrecords(path, verify_data_crc=True))
+    payloads = list(iter_tfrecords(path, crc="full"))
     parsed = parse_example(payloads[0])
     assert parsed["videoId"] == [-1, 3]
 
@@ -131,4 +131,4 @@ def test_tfrecord_negative_int64_and_data_crc(tmp_path):
     bad = str(tmp_path / "bad.tfrecord")
     open(bad, "wb").write(bytes(raw))
     with pytest.raises(ValueError, match="corrupt"):
-        list(iter_tfrecords(bad, verify_data_crc=True))
+        list(iter_tfrecords(bad, crc="full"))

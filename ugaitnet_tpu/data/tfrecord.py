@@ -39,26 +39,32 @@ def _masked_crc(data: bytes) -> int:
     return ((((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF)
 
 
-def iter_tfrecords(path: str, verify_crc: bool = True,
-                   verify_data_crc: bool = False) -> Iterator[bytes]:
+def iter_tfrecords(path: str, crc: str = "header") -> Iterator[bytes]:
     """Yield raw record payloads from a TFRecord file.
 
-    The 12-byte length header's crc is always checked when verify_crc
-    (cheap); the PAYLOAD crc walks every byte in python (~seconds per
-    multi-MB gait record on a one-core host), so it is opt-in via
-    verify_data_crc."""
+    crc selects how much integrity checking to pay for, EXPLICITLY (a
+    boolean "verify" flag silently weakened when payload checking moved
+    behind a second parameter):
+      "none"   — no checks
+      "header" — the 12-byte length header's crc only (cheap; default)
+      "full"   — header + payload crc; the payload crc walks every byte
+                 in python (~seconds per multi-MB gait record on this
+                 one-core host), so it is a conscious opt-in
+    """
+    if crc not in ("none", "header", "full"):
+        raise ValueError(f"crc must be none|header|full, got {crc!r}")
     with open(path, "rb") as f:
         while True:
             header = f.read(12)
             if len(header) < 12:
                 return
-            (length,), (crc,) = (struct.unpack("<Q", header[:8]),
-                                 struct.unpack("<I", header[8:]))
-            if verify_crc and _masked_crc(header[:8]) != crc:
+            (length,), (hcrc,) = (struct.unpack("<Q", header[:8]),
+                                  struct.unpack("<I", header[8:]))
+            if crc != "none" and _masked_crc(header[:8]) != hcrc:
                 raise ValueError(f"corrupt length crc in {path}")
             payload = f.read(length)
             data_crc = struct.unpack("<I", f.read(4))[0]
-            if verify_data_crc and _masked_crc(payload) != data_crc:
+            if crc == "full" and _masked_crc(payload) != data_crc:
                 raise ValueError(f"corrupt data crc in {path}")
             yield payload
 

@@ -37,15 +37,17 @@ def _tap(out: Dict[str, jax.Array], typecode: int) -> jax.Array:
     return x
 
 
-_ENCODE_CACHE: Dict[Tuple[int, int], object] = {}
+_ENCODE_CACHE: Dict[Tuple[object, int], object] = {}
 
 
 def make_encode_fn(model: UGaitNet, typecode: int = 3):
     # cache per (model config, typecode): eval_all_combos calls
     # encode_dataset up to 2*(2^nmods - 1) times, and a fresh jit closure
     # each time would re-trace the identical computation (cold compiles
-    # through the tunnel cost minutes)
-    key = (hash(model.config), typecode)
+    # through the tunnel cost minutes).  The frozen ModelConfig itself is
+    # the key (hashable dataclass): dict lookup falls back to __eq__ on a
+    # hash collision, so two distinct configs can never alias an entry.
+    key = (model.config, typecode)
     fn = _ENCODE_CACHE.get(key)
     if fn is not None:
         return fn

@@ -85,7 +85,11 @@ class ExportedEncoder:
     """Load an export_encoder() directory and serve encode() from it —
     no model code, params or retracing involved."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, warmup: bool = False):
+        """warmup=True runs every bucket's executable once on zeros at
+        load time, so the first real query never pays a compile/transfer
+        cold start (through the remote-tunnel backend a cold first call
+        can cost minutes; see cli/export_model.py --warmup)."""
         with open(os.path.join(path, "meta.json")) as f:
             self.meta = json.load(f)
         self.modalities = tuple(self.meta["modalities"])
@@ -102,6 +106,23 @@ class ExportedEncoder:
         for b in self.buckets:
             with open(os.path.join(path, f"encode_b{b}.bin"), "rb") as f:
                 self._fns[b] = jax_export.deserialize(f.read())
+        # output code width, for empty-batch answers
+        out_aval = self._fns[self.buckets[0]].out_avals[0]
+        self.code_dim = int(out_aval.shape[-1])
+        if warmup:
+            self.warmup()
+
+    def warmup(self) -> None:
+        """Run every bucket once on zero batches (idempotent)."""
+        from ugaitnet_tpu.core.config import NUM_FRAMES
+        cfs = self.meta.get("compress_factors",
+                            [100.0] * len(self.modalities))
+        for b in self.buckets:
+            raw = {}
+            for m, c, cf in zip(self.modalities, self.channels, cfs):
+                dt = np.int16 if cf > 1 else np.uint8
+                raw[f"raw_{m}"] = np.zeros((b, NUM_FRAMES * c, 60, 60), dt)
+            np.asarray(self.encode(raw))
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -113,6 +134,11 @@ class ExportedEncoder:
         """raw: {"raw_<mod>": (B, T*C, H, W) quantized planes, optional
         "present_<mod>": (B,) flags}.  Pads to the nearest bucket."""
         n = next(v.shape[0] for k, v in raw.items() if k.startswith("raw_"))
+        if n == 0:
+            # np.repeat(v[-1:], ...) on a zero-row array would feed a
+            # (0, ...) batch into the exported call and fail with an
+            # opaque shape error; an empty query has an empty answer
+            return np.zeros((0, self.code_dim), np.float32)
         b = self._bucket(n)
         if b < 0:
             # larger than any bucket: serve in slices of the biggest one

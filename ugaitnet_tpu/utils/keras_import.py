@@ -61,13 +61,20 @@ def _collect_weights(h5path: str) -> Dict[str, List[np.ndarray]]:
                 grp.visititems(lambda n, o: visit(n, o)
                                if hasattr(o, "dtype") else None)
                 # h5py visits alphabetically, which puts 'bias' before
-                # 'kernel'; every loader takes ws[0] as the kernel, so
-                # order by Keras convention instead
+                # 'kernel'; loaders expect Keras order (kernel, bias) PER
+                # LAYER, so group by the layer path prefix first and only
+                # reorder kernel-before-bias within a layer — a flat
+                # (rank, path) key would put every kernel of a multi-layer
+                # group before every bias and break the
+                # (ws[2i], ws[2i+1]) pairing in
+                # load_sequential_branch_weights
                 rank = {"kernel": 0, "bias": 1}
 
                 def key(item):
-                    leaf = item[0].rsplit("/", 1)[-1].split(":")[0]
-                    return (rank.get(leaf, 2), item[0])
+                    path, leaf = (item[0].rsplit("/", 1) + [""])[:2]
+                    if not leaf:
+                        path, leaf = "", item[0]
+                    return (path, rank.get(leaf.split(":")[0], 2), item[0])
                 ws = [a for _, a in sorted(named, key=key)]
             if ws:
                 out[lname] = ws
