@@ -152,8 +152,10 @@ def compute_losses(model: UGaitNet, params, batch: Batch, key,
     return total, metrics
 
 
-def make_train_step(model: UGaitNet, tx: optax.GradientTransformation,
-                    mcfg: ModelConfig, tcfg: TrainConfig):
+def make_train_step_fn(model: UGaitNet, tx: optax.GradientTransformation,
+                       mcfg: ModelConfig, tcfg: TrainConfig):
+    """The un-jitted step function (for callers that jit with their own
+    options — benchmarks/step_opts.py, sharded wrappers)."""
     def step(state: TrainState, batch: Batch, key: jax.Array):
         def loss_fn(params):
             return compute_losses(model, params, batch,
@@ -166,7 +168,13 @@ def make_train_step(model: UGaitNet, tx: optax.GradientTransformation,
         return TrainState(step=state.step + 1, params=params,
                           opt_state=opt_state), metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def make_train_step(model: UGaitNet, tx: optax.GradientTransformation,
+                    mcfg: ModelConfig, tcfg: TrainConfig):
+    return jax.jit(make_train_step_fn(model, tx, mcfg, tcfg),
+                   donate_argnums=(0,))
 
 
 class PairBatch(NamedTuple):

@@ -142,14 +142,28 @@ class Trainer:
             state = replicate(state, self.mesh)
         return state, start_epoch
 
+    # A non-finite loss at step k is surfaced at the next check (at most
+    # DIVERGENCE_CHECK_EVERY steps later) — recovery is "resume from the
+    # last per-chunk checkpoint" either way, so the delay costs nothing.
+    DIVERGENCE_CHECK_EVERY = 25
+
     def _epoch(self, state: TrainState, pipe: GaitPipeline,
                sampler: BalancedGaitSampler, epoch: int, seed: int
                ) -> Tuple[TrainState, Dict[str, float]]:
+        """One pass over the sampler.
+
+        The loop NEVER fetches per step: metrics stay on device and are
+        transferred once at epoch end, and the divergence check fetches a
+        single scalar every DIVERGENCE_CHECK_EVERY steps.  A per-step
+        float(metrics["loss"]) costs a host round-trip per ~100 ms step
+        through the remote-tunnel backend and stops the device from ever
+        queueing ahead (round-2 Trainer.fit ran well below the measured
+        step rate because of exactly that)."""
         from ugaitnet_tpu.data.pipeline import PrefetchLoader
-        agg: Dict[str, float] = {}
         nsteps = max(len(sampler), 1)
         key0 = jax.random.PRNGKey(hash((seed, epoch)) % (2 ** 31))
         loader = PrefetchLoader(pipe, sampler, key0)
+        hist = []
         for bix, (vols, flags, labels) in enumerate(loader):
             batch = Batch(tuple(vols), tuple(flags), labels)
             if self.mesh is not None:
@@ -157,18 +171,30 @@ class Trainer:
                 batch = shard_batch(batch, self.mesh)
             state, metrics = self.step_fn(state, batch,
                                           jax.random.fold_in(key0, bix))
-            loss = float(metrics["loss"])
-            if not np.isfinite(loss):
-                # failure detection: surface divergence immediately with a
-                # recoverable message instead of training on garbage
-                # (resume from the last per-chunk checkpoint)
-                raise FloatingPointError(
-                    f"non-finite loss {loss} at epoch {epoch} step {bix}; "
-                    f"restart resumes from the last checkpoint in "
-                    f"{self.experdir}")
-            for k, v in metrics.items():
+            hist.append(metrics)
+            if (bix + 1) % self.DIVERGENCE_CHECK_EVERY == 0:
+                self._raise_if_diverged([float(metrics["loss"])],
+                                        epoch, bix)
+        host = jax.device_get(hist)   # one transfer for the whole epoch
+        self._raise_if_diverged([float(m["loss"]) for m in host], epoch,
+                                len(host) - 1)
+        agg: Dict[str, float] = {}
+        for m in host:
+            for k, v in m.items():
                 agg[k] = agg.get(k, 0.0) + float(v)
         return state, {k: v / nsteps for k, v in agg.items()}
+
+    def _raise_if_diverged(self, losses, epoch: int, last_bix: int) -> None:
+        """Failure detection: surface divergence with a recoverable
+        message instead of training on garbage (resume from the last
+        per-chunk checkpoint)."""
+        for off, loss in enumerate(losses):
+            if not np.isfinite(loss):
+                bix = last_bix - (len(losses) - 1 - off)
+                raise FloatingPointError(
+                    f"non-finite loss {loss} at epoch {epoch} step "
+                    f"~{bix}; restart resumes from the last checkpoint "
+                    f"in {self.experdir}")
 
     def _val_metrics(self, state: TrainState, val_pipe: GaitPipeline
                      ) -> Dict[str, float]:
@@ -179,21 +205,33 @@ class Trainer:
 
         The val view is shuffled once with a fixed seed, then walked in
         fixed-size batches, so the metric is comparable across chunks and
-        reuses one compiled executable."""
+        reuses one compiled executable.  The trailing partial batch is
+        NOT dropped: it is padded to the compiled batch size by wrapping
+        samples from the start of the shuffled order (batch losses like
+        the triplet need a full batch, so true masking is impossible),
+        and every batch's metrics are weighted by its count of
+        first-occurrence samples — the plateau monitor sees the whole
+        split, with only the tail batch's fill samples double-counted
+        inside that one batch's loss."""
         n = len(val_pipe.indices)
         bs = min(n, self.dcfg.batch_size)
         order = np.random.RandomState(1234).permutation(n)
-        nb = max(1, n // bs)
+        nb = max(1, -(-n // bs))
         key = jax.random.PRNGKey(0)
         agg: Dict[str, float] = {}
+        total_w = 0.0
         for i in range(nb):
             bidx = order[i * bs:(i + 1) * bs]
+            fresh = len(bidx)
+            if fresh < bs:
+                bidx = np.concatenate([bidx, order[:bs - fresh]])
             vols, flags, labels = val_pipe.load(bidx, key, expand=1)
             metrics = self.eval_step(
                 state.params, Batch(tuple(vols), tuple(flags), labels))
+            total_w += fresh
             for k, v in metrics.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
-        return {k: v / nb for k, v in agg.items()}
+                agg[k] = agg.get(k, 0.0) + fresh * float(v)
+        return {k: v / total_w for k, v in agg.items()}
 
     def _validate(self, state: TrainState, ds: GaitDataset,
                   val_idx: np.ndarray, epoch: int = 0) -> Dict[str, float]:
