@@ -1,0 +1,116 @@
+"""import_reference_dir against a miniature reference-layout h5 tree.
+
+The reference emits one h5 per sample via deepdish
+(/root/reference/data/generateOFData.py:136-149): keys data (60,60,T*C
+channel-last, int16 for OF), label (uint16), videoId (uint16), gait
+(uint8), cam (int), compressFactor (uint8, 100 for OF).  This is the ONLY
+bridge from the reference's on-disk format into this framework, so the
+day-one real-data path (CASIA-B / TUM import -> pipeline -> encode) is
+exercised here end to end on synthetic files written in exactly that
+layout — including the empty-file filter, the channel-last transpose, and
+the compressFactor-mismatch guard.
+"""
+
+import os
+
+import h5py
+import jax
+import numpy as np
+import pytest
+
+from ugaitnet_tpu.data.convert import import_reference_dir
+
+
+def _write_ref_sample(path, data, label, video_id, gait, cam, cf=100):
+    """Write one per-sample file in the deepdish-on-pytables layout the
+    reference produces: every dict key a root-level dataset, scalars as
+    0-d datasets (generateOFData.py:137-149)."""
+    with h5py.File(path, "w") as f:
+        f["data"] = data
+        f["label"] = np.uint16(label)
+        f["videoId"] = np.uint16(video_id)
+        f["gait"] = np.uint8(gait)
+        f["cam"] = int(cam)
+        f["compressFactor"] = np.uint8(cf)
+        f["frames"] = np.arange(25, dtype=np.uint16)   # present, unused
+
+
+def _make_tree(tmp_path, n=6, cf=100):
+    rng = np.random.RandomState(0)
+    d = str(tmp_path / "of_ref")
+    os.makedirs(d, exist_ok=True)
+    truth = []
+    for i in range(n):
+        data = rng.randint(-3000, 3000, (60, 60, 50)).astype(np.int16)
+        label, vid, gait, cam = 300 + i // 2, 10 + i, i % 3, 90
+        _write_ref_sample(os.path.join(d, f"{i:03d}-nm-{i:02d}.h5"),
+                          data, label, vid, gait, cam, cf)
+        truth.append((data, label, vid, gait, cam))
+    return d, truth
+
+
+def test_import_transposes_and_filters(tmp_path):
+    d, truth = _make_tree(tmp_path)
+    # an empty file (the reference's pre-filter drops zero-size samples,
+    # mj_dataGeneratorMMUWYHsingle.py:111-131) ...
+    with h5py.File(os.path.join(d, "zzz-empty.h5"), "w") as f:
+        f["data"] = np.zeros((0,), np.int16)
+        f["compressFactor"] = np.uint8(100)
+    # ... and a file that is not valid hdf5 at all
+    with open(os.path.join(d, "zz-corrupt.h5"), "wb") as f:
+        f.write(b"not an hdf5 file")
+
+    ds = import_reference_dir(d, "of", name="mini")
+    assert len(ds) == len(truth)
+    st = ds.modalities["of"]
+    assert st.volumes.dtype == np.int16
+    assert st.volumes.shape == (len(truth), 50, 60, 60)
+    assert st.compress_factor == 100.0
+    for i, (data, label, vid, gait, cam) in enumerate(truth):
+        # (60,60,TC) channel-last -> (TC,60,60) planes
+        np.testing.assert_array_equal(st.volumes[i],
+                                      np.moveaxis(data, 2, 0))
+        assert ds.labels[i] == label
+        assert ds.video_ids[i] == vid
+        assert ds.gaits[i] == gait
+        assert ds.cams[i] == cam
+
+
+def test_import_compress_factor_guard(tmp_path):
+    d, _ = _make_tree(tmp_path, n=2)
+    bad = np.random.RandomState(1).randint(0, 255, (60, 60, 25)
+                                           ).astype(np.uint8)
+    _write_ref_sample(os.path.join(d, "x-badcf.h5"), bad, 1, 1, 0, 90,
+                      cf=1)
+    with pytest.raises(ValueError, match="compressFactor"):
+        import_reference_dir(d, "of")
+
+
+def test_import_then_pipeline_then_encode(tmp_path):
+    """The full day-one path: reference files -> import -> GaitPipeline
+    preprocess -> model encode."""
+    from ugaitnet_tpu.core.config import (BranchConfig, DataConfig,
+                                          ModelConfig)
+    from ugaitnet_tpu.data.pipeline import GaitPipeline
+    from ugaitnet_tpu.eval.encode import encode_dataset
+    from ugaitnet_tpu.models.network import UGaitNet, init_params
+
+    d, _ = _make_tree(tmp_path, n=4)
+    ds = import_reference_dir(d, "of")
+    pipe = GaitPipeline(ds, DataConfig(augment=False), ("of",))
+    vols, flags, labels = pipe.load(np.arange(4), jax.random.PRNGKey(0),
+                                    expand=1)
+    assert vols[0].shape == (4, 25, 60, 60, 2)
+    assert np.all(np.isfinite(np.asarray(vols[0])))
+
+    mcfg = ModelConfig(
+        branches=(BranchConfig(kind="gaitset", modality="of",
+                               gaitset_channels=(4, 4, 8), part_dim=8),),
+        merge="max", nclasses=0)
+    model = UGaitNet(mcfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+    codes, labels, vids, cams = encode_dataset(model, params, ds, ("of",),
+                                               batch_size=4)
+    assert codes.shape == (4, 62 * 8)
+    assert np.all(np.isfinite(codes))
+    np.testing.assert_array_equal(cams, ds.cams)
