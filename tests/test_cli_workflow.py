@@ -51,6 +51,16 @@ def test_evaluate_cli(workflow, capsys):
     # self-retrieval: every probe is in the gallery at distance 0
     line = [l for l in out.splitlines() if "rank1_subseq" in l][-1]
     assert "1.0" in line
+    # confusion matrices are persisted next to the results (reference
+    # result-bundle parity, mj_testUWYHGaitNet_open_casiab.py:415-435)
+    import glob
+    conf = glob.glob(os.path.join(experdir, "confusions_*.npz"))
+    assert conf, "no confusions_*.npz written by evaluate"
+    z = np.load(conf[0])
+    assert "subseq" in z and "labels" in z
+    cm = z["subseq"]
+    # perfect self-retrieval -> strictly diagonal confusion
+    assert cm.sum() == cm.trace() and cm.sum() > 0
 
 
 def test_export_and_serve_from_artifact(workflow, tmp_path):
@@ -69,3 +79,9 @@ def test_export_and_serve_from_artifact(workflow, tmp_path):
     assert codes.shape[0] == 3 and np.all(np.isfinite(codes))
     # same clip -> same code; different clip -> different code
     assert not np.allclose(codes[0], codes[1])
+    # empty query answers (0, D) instead of failing inside the executable
+    empty = {k: v[:0] for k, v in raw.items()}
+    assert enc.encode(empty).shape == (0, codes.shape[1])
+    # warmup path: runs every bucket once, idempotent
+    enc2 = ExportedEncoder(art, warmup=True)
+    assert np.allclose(enc2.encode(raw), codes)

@@ -61,8 +61,22 @@ def test_flagship_train_and_serve():
 
     svc = SignatureService(model, state.params, ("of", "gray"), knn=1,
                            buckets=(8, 32))
-    svc.build_gallery(ds, batch_size=32)
+    svc.build_gallery(ds, batch_size=32, warmup=True)
     raw = {"raw_of": ds.modalities["of"].volumes[:8],
            "raw_gray": ds.modalities["gray"].volumes[:8]}
+    # after warmup the FIRST query must already be steady-state: compare
+    # cold-start (first) identify latency against the next queries
+    import time
+    t0 = time.perf_counter()
     labels, dists = svc.identify_raw(raw)
+    first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(3):
+        svc.identify_raw(raw)
+    steady = (time.perf_counter() - t0) / 3
+    print(f"identify latency: first {first*1e3:.0f} ms, "
+          f"steady {steady*1e3:.0f} ms")
+    assert first < max(10 * steady, 2.0), (
+        f"cold-start identify {first:.2f}s vs steady {steady:.3f}s — "
+        "warmup did not precompile the query bucket")
     np.testing.assert_array_equal(labels, ds.labels[:8])

@@ -149,6 +149,10 @@ def main(argv=None):
             probe = encode_set(model, state.params, probe_ds, modalities,
                                ecfg, use_mods=args.usemod,
                                cache_path=probe_cache)
+            # per-camera confusion matrices ride along with the results,
+            # like the reference's all_test_results h5
+            # (mj_testUWYHGaitNet_open_casiab.py:415-435)
+            conf_all = {}
             if args.protocol == "casiab":
                 per_cam = {}
                 gal = get_gallery()
@@ -157,14 +161,28 @@ def main(argv=None):
                     from ugaitnet_tpu.eval.protocol import EncodedSet
                     sub = EncodedSet(probe.codes[sel], probe.labels[sel],
                                      probe.video_ids[sel], probe.cams[sel])
+                    conf = {}
                     per_cam[int(cam)] = eval_camera_pairs(
                         gal, sub, probe_camera=int(cam), knn=args.knn,
-                        cameras=np.unique(gal.cams).tolist())
+                        cameras=np.unique(gal.cams).tolist(),
+                        confusions=conf)
+                    for k, v in conf.items():
+                        conf_all[f"probe{int(cam)}_{k}"] = v
                 results[name] = per_cam
             else:
+                conf_all = {}
                 results[name] = eval_openset(get_gallery(), probe,
                                              knn=args.knn,
-                                             use_avg=args.useavg)
+                                             use_avg=args.useavg,
+                                             confusions=conf_all)
+            if conf_all:
+                conf_file = os.path.join(
+                    args.experdir,
+                    f"confusions_{name}_e{step}_k{args.knn}"
+                    f"_t{args.typecode}.npz")
+                np.savez_compressed(conf_file, **conf_all)
+                results[name] = {"metrics": results[name],
+                                 "confusions_file": conf_file}
 
     out = json.dumps(results, indent=2, default=float)
     print(out)

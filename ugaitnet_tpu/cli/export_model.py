@@ -29,6 +29,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="query batch sizes to precompile")
     p.add_argument("--typecode", type=int, default=3)
     p.add_argument("--knn", type=int, default=3)
+    p.add_argument("--warmup", action="store_true",
+                   help="load the artifact back and run every bucket "
+                        "once, so the platform's compile cache is "
+                        "populated and a serving process's first query "
+                        "is steady-state")
     return p
 
 
@@ -49,6 +54,13 @@ def main(argv=None):
     for b, n in sorted(sizes.items()):
         print(f"bucket {b:4d}: {n/1e6:.1f} MB")
     print(f"exported epoch {step} -> {args.out}")
+    if args.warmup:
+        import time
+        from ugaitnet_tpu.eval.export import ExportedEncoder
+        t0 = time.perf_counter()
+        ExportedEncoder(args.out, warmup=True)
+        print(f"warmed {len(args.buckets)} buckets in "
+              f"{time.perf_counter() - t0:.1f}s")
 
 
 if __name__ == "__main__":

@@ -40,6 +40,10 @@ def main(argv=None):
     p = argparse.ArgumentParser("ugaitnet-sweep")
     p.add_argument("--grid", nargs="+", required=True,
                    help="name=v1,v2 specs; names are train CLI flags")
+    p.add_argument("--hparams-dir", type=str, default="",
+                   help="write TensorBoard HParams-plugin records for the "
+                        "grid here (the reference's hp.hparams tuning "
+                        "output, mains/..._CasiaB.py:715-753); empty = off")
     args = p.parse_args(own)
     grid = parse_grid(args.grid)
 
@@ -71,8 +75,38 @@ def main(argv=None):
                               if k not in ("step", "time")})
         point["final_metrics"] = final
         results.append(point)
+        if args.hparams_dir:
+            _log_hparams(args.hparams_dir, len(results) - 1,
+                         point["point"], final)
 
     print(json.dumps(results, indent=2))
+
+
+def _log_hparams(base_dir: str, trial: int, hparams: Dict[str, str],
+                 metrics: Dict[str, float]) -> None:
+    """One TensorBoard HParams-plugin record per grid point
+    (torch.utils.tensorboard emits the hparams summary protos the HParams
+    dashboard reads — the reference writes the same plugin data via
+    tensorboard.plugins.hparams, mains/..._CasiaB.py:731-753)."""
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+    except Exception as e:   # torch should exist; never kill the sweep
+        print(f"! hparams logging unavailable: {e}", flush=True)
+        return
+    import os
+
+    def num(v):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return str(v)
+
+    w = SummaryWriter(log_dir=os.path.join(base_dir, f"run-{trial}"))
+    w.add_hparams({k: num(v) for k, v in hparams.items()},
+                  {f"final/{k}": float(v) for k, v in metrics.items()
+                   if isinstance(v, (int, float))},
+                  run_name=".")
+    w.close()
 
 
 if __name__ == "__main__":

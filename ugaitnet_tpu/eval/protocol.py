@@ -83,13 +83,33 @@ def encode_set(model: UGaitNet, params, ds: GaitDataset,
     return es
 
 
+def _dense_confusion(pred: np.ndarray, gt: np.ndarray,
+                     vocab: np.ndarray) -> np.ndarray:
+    """(true, pred) confusion over a fixed label vocabulary."""
+    from ugaitnet_tpu.ops.metrics import confusion_matrix
+    lut = {int(l): i for i, l in enumerate(vocab)}
+    p = np.asarray([lut[int(v)] for v in pred])
+    g = np.asarray([lut[int(v)] for v in gt])
+    return confusion_matrix(p, g, len(vocab))
+
+
 def eval_camera_pairs(gallery: EncodedSet, probe: EncodedSet,
                       probe_camera: int, knn: int = 3,
                       cameras: Sequence[int] = (0, 18, 36, 54, 72, 90, 108,
-                                                126, 144, 162, 180)
-                      ) -> Dict[str, float]:
-    """CASIA-B: average subseq/video Rank-1 over gallery cams != probe cam."""
+                                                126, 144, 162, 180),
+                      confusions: Optional[Dict] = None) -> Dict[str, float]:
+    """CASIA-B: average subseq/video Rank-1 over gallery cams != probe cam.
+
+    confusions: pass a dict to ALSO collect one (true, pred) subseq
+    confusion matrix per gallery camera, like the reference persists with
+    its results (mj_testUWYHGaitNet_open_casiab.py:415-435); it is filled
+    with {"labels": vocab, "cam_<g>": matrix}.
+    """
     accs_sub, accs_vid = [], []
+    vocab = None
+    if confusions is not None:
+        vocab = np.unique(np.concatenate([gallery.labels, probe.labels]))
+        confusions["labels"] = vocab
     for cam_g in cameras:
         if cam_g == probe_camera:
             continue
@@ -102,6 +122,9 @@ def eval_camera_pairs(gallery: EncodedSet, probe: EncodedSet,
         acc_vid, _, _ = video_majority_vote(pred, probe.labels,
                                             probe.video_ids)
         accs_vid.append(acc_vid)
+        if confusions is not None:
+            confusions[f"cam_{int(cam_g)}"] = _dense_confusion(
+                pred, probe.labels, vocab)
     return {"rank1_subseq": float(np.mean(accs_sub)) if accs_sub else 0.0,
             "rank1_video": float(np.mean(accs_vid)) if accs_vid else 0.0}
 
@@ -124,12 +147,16 @@ def _merge_codes_per_video(es: EncodedSet, use_avg: bool = True
 def eval_openset(gallery: EncodedSet, probe: EncodedSet, knn: int = 3,
                  use_avg: bool = True,
                  merged_gallery: Optional[Tuple[np.ndarray, np.ndarray]]
-                 = None) -> Dict[str, float]:
+                 = None,
+                 confusions: Optional[Dict] = None) -> Dict[str, float]:
     """TUM-style: subseq kNN + per-video vote + merged-code video kNN.
 
     merged_gallery: optional precomputed (codes, labels) from
     _merge_codes_per_video(gallery) so combo sweeps don't re-merge the same
-    gallery per probe configuration."""
+    gallery per probe configuration.
+    confusions: pass a dict to collect subseq + merged-video confusion
+    matrices (reference result persistence parity, see eval_camera_pairs).
+    """
     pred = knn_predict(probe.codes, gallery.codes, gallery.labels, k=knn)
     out = {"rank1_subseq": rank1_accuracy(pred, probe.labels)}
     acc_vid, _, _ = video_majority_vote(pred, probe.labels, probe.video_ids)
@@ -140,6 +167,12 @@ def eval_openset(gallery: EncodedSet, probe: EncodedSet, knn: int = 3,
     pr_codes, pr_labels = _merge_codes_per_video(probe, use_avg)
     pred_vid = knn_predict(pr_codes, gal_codes, gal_labels, k=knn)
     out["rank1_video_merged"] = rank1_accuracy(pred_vid, pr_labels)
+    if confusions is not None:
+        vocab = np.unique(np.concatenate([gallery.labels, probe.labels]))
+        confusions["labels"] = vocab
+        confusions["subseq"] = _dense_confusion(pred, probe.labels, vocab)
+        confusions["video_merged"] = _dense_confusion(pred_vid, pr_labels,
+                                                      vocab)
     return out
 
 

@@ -127,13 +127,20 @@ class SignatureService:
         self._encode_raw = _encode_raw
 
     # ------------------------------------------------------------------
-    def set_gallery(self, codes: np.ndarray, labels: np.ndarray) -> None:
+    def set_gallery(self, codes: np.ndarray, labels: np.ndarray,
+                    warmup: bool = False) -> None:
+        """warmup=True precompiles every query bucket right away, so the
+        first live query is steady-state (a cold compile through the
+        remote-tunnel backend costs minutes)."""
         self._ulabels, dense = np.unique(np.asarray(labels),
                                          return_inverse=True)
         self._gallery_codes = jnp.asarray(codes, jnp.float32)
         self._gallery_dense = jnp.asarray(dense.astype(np.int32))
+        if warmup:
+            self.warmup()
 
-    def build_gallery(self, ds: GaitDataset, batch_size: int = 128) -> None:
+    def build_gallery(self, ds: GaitDataset, batch_size: int = 128,
+                      warmup: bool = False) -> None:
         """Embed a packed dataset with this service's encode path (works for
         both float and quantized modes) and install it as the gallery."""
         codes = []
@@ -154,7 +161,7 @@ class SignatureService:
                     store.present[idx].astype(np.float32))
             codes.append(np.asarray(
                 self._encode_raw(self.params, raw))[:real])
-        self.set_gallery(np.concatenate(codes), ds.labels)
+        self.set_gallery(np.concatenate(codes), ds.labels, warmup=warmup)
 
     def warmup(self) -> None:
         """Precompile every query bucket so steady-state serving never hits
