@@ -21,8 +21,12 @@ Backward is a second kernel with the analytic gradient:
   dL/dx = (diag(rowsum W) - W) @ x with W[i,j] = (g[i,j]+g[j,i])/d[i,j]
 
 Both kernels mask padded batch rows (labels are padded with -1); batches
-up to 128 run in the kernel (padded to 128), larger batches fall back to
-the XLA formulation (the unrolled 2D blocks exceed VMEM past bp=128).
+up to 128 run the single-instance kernels (padded to 128).  Larger
+batches (<= MAX_GRID_B) run GRIDDED variants: grid = (parts, anchor
+blocks) so each step's (A*bp, bp) tensors fit scoped VMEM at any bp, the
+backward emitting per-row distance gradients that an XLA epilogue
+symmetrizes (O(B^2 D)); only B > MAX_GRID_B falls back to the XLA
+O(B^3)-HBM formulation.
 """
 
 from __future__ import annotations
@@ -60,14 +64,26 @@ def _dist_and_masks(emb, labels, bp):
     return dist, same, diff
 
 
-# Anchor-block sizes at the kernel's only supported padded batch (128):
-# the 2D block tensors are (A*bp, bp) fp32, and with the statically
-# unrolled block loop mosaic's scoped-vmem accounting keeps several
-# blocks' intermediates live — at bp=256 the backward peaks at ~58M vs
-# the 16M limit even with tiny blocks, so batches above 128 route to the
-# XLA formulation instead (batch_all_triplet_loss_pallas).
+# Anchor-block sizes for the single-instance (bp=128) kernels: the 2D
+# block tensors are (A*bp, bp) fp32, and with the statically unrolled
+# block loop mosaic's scoped-vmem accounting keeps several blocks'
+# intermediates live — at bp=256 the unrolled backward peaks at ~58M vs
+# the 16M limit even with tiny blocks.  Batches above 128 instead run the
+# GRIDDED variant below (one grid step per anchor block, nothing
+# unrolled), up to MAX_GRID_B; only beyond that do they fall back to the
+# XLA formulation.
 FWD_BLOCK = 32
 BWD_BLOCK = 16
+MAX_GRID_B = 512
+
+
+def _grid_ablock(bp: int) -> int:
+    """Anchor rows per grid step: keeps the ~8 live (A*bp, bp) fp32
+    intermediates of one step within the 16M scoped-vmem budget."""
+    a = max(1, 1024 // bp)
+    while bp % a:
+        a -= 1
+    return a
 
 
 def _k_onehot(a: int, bp: int):
@@ -174,6 +190,164 @@ def _bwd_kernel(margin_ref, scale_ref, labels_ref, emb_ref, grad_ref):
                                       preferred_element_type=jnp.float32)
 
 
+# ---------------------------------------------------------------------
+# Gridded (bp > 128) variant: grid = (parts, anchor blocks).  Each grid
+# step handles ONE anchor block — the (A*bp, bp) tensors exist once per
+# step instead of once per unrolled block, so VMEM stays flat in bp.
+# The backward emits per-anchor-row distance-gradients g_dist (p, bp, bp)
+# to HBM; the O(B^2 D) symmetrize + matmul finish runs in XLA
+# (_grid_bwd_finish) — the kernel only keeps the O(B^3) triplet part.
+
+def _rect_dist_and_masks(xa, laba, x, labels, a_blk, bp):
+    """Anchor-rows-vs-all distances and validity masks."""
+    xa = xa.astype(jnp.float32)
+    x = x.astype(jnp.float32)
+    sqa = jnp.sum(xa * xa, axis=1)
+    sq = jnp.sum(x * x, axis=1)
+    dot = jnp.dot(xa, x.T, preferred_element_type=jnp.float32)
+    d2 = sqa[:, None] + sq[None, :] - 2.0 * dot
+    d2 = jnp.maximum(d2, 0.0)
+    zero = d2 <= 0.0
+    dist = jnp.where(zero, 0.0, jnp.sqrt(d2 + jnp.where(zero, 1e-16, 0.0)))
+    la = laba.reshape(a_blk, 1).astype(jnp.int32)
+    lr = labels.reshape(1, bp).astype(jnp.int32)
+    validf = ((la >= 0) & (lr >= 0)).astype(jnp.float32)
+    eq = (la == lr).astype(jnp.float32)
+    return dist, eq * validf, (1.0 - eq) * validf
+
+
+def _fwd_kernel_grid(margin_ref, labels_ref, laba_ref, emb_ref, emba_ref,
+                     out_ref):
+    a_blk = emba_ref.shape[0]
+    bp = emb_ref.shape[0]
+    margin = margin_ref[0]
+    dist, pos, neg = _rect_dist_and_masks(
+        emba_ref[...], laba_ref[...], emb_ref[...], labels_ref[...],
+        a_blk, bp)
+    k1 = _k_onehot(a_blk, bp)
+    t2, act = _block_2d(dist, pos, neg, margin, bp, k1)
+    s = jnp.sum(t2 * act)
+    c = jnp.sum(act)
+    rows = jnp.concatenate([jnp.full((1, 128), s, jnp.float32),
+                            jnp.full((1, 128), c, jnp.float32),
+                            jnp.zeros((6, 128), jnp.float32)], axis=0)
+    out_ref[...] = rows
+
+
+def _bwd_kernel_grid(margin_ref, labels_ref, laba_ref, emb_ref, emba_ref,
+                     gd_ref):
+    """Writes UNSCALED g_dist rows for this anchor block:
+    g[a, m] = #act(a, j=m, .) - #act(a, ., k=m)."""
+    a_blk = emba_ref.shape[0]
+    bp = emb_ref.shape[0]
+    margin = margin_ref[0]
+    dist, pos, neg = _rect_dist_and_masks(
+        emba_ref[...], laba_ref[...], emb_ref[...], labels_ref[...],
+        a_blk, bp)
+    k1 = _k_onehot(a_blk, bp)
+    _, act = _block_2d(dist, pos, neg, margin, bp, k1)
+    o_cols = jax.lax.broadcasted_iota(
+        jnp.int32, (a_blk, a_blk * bp), 1) // bp
+    o_rows = jax.lax.broadcasted_iota(
+        jnp.int32, (a_blk, a_blk * bp), 0)
+    o_mat = (o_cols == o_rows).astype(jnp.float32)
+    term1 = jnp.dot(o_mat, act, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    rs = jnp.sum(act, axis=1, keepdims=True)
+    term2 = jnp.dot(o_mat, rs * k1, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    gd_ref[...] = term1 - term2
+
+
+def _grid_specs(grid, bp, dp, a_blk, out_block):
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # margin
+            pl.BlockSpec(memory_space=pltpu.VMEM),             # labels (Bp,)
+            pl.BlockSpec((a_blk,), lambda i, j: (j,),
+                         memory_space=pltpu.VMEM),             # anchor labels
+            pl.BlockSpec((None, bp, dp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),             # emb part
+            pl.BlockSpec((None, a_blk, dp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),             # anchor rows
+        ],
+        out_specs=out_block,
+    )
+
+
+def _triplet_fwd_call_grid(emb_pbd, labels, margin, interpret):
+    p, b, d = emb_pbd.shape
+    bp, dp = _round_up(b, 128), _round_up(d, 128)
+    a_blk = _grid_ablock(bp)
+    nblk = bp // a_blk
+    emb, lab = _pad(emb_pbd, labels, bp, dp)
+    spec = _grid_specs(
+        (p, nblk), bp, dp, a_blk,
+        pl.BlockSpec((None, None, 8, 128), lambda i, j: (i, j, 0, 0),
+                     memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        _fwd_kernel_grid, grid_spec=spec,
+        out_shape=jax.ShapeDtypeStruct((p, nblk, 8, 128), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray([margin], jnp.float32), lab, lab, emb, emb)
+    return jnp.sum(out[:, :, 0, 0], axis=1), jnp.sum(out[:, :, 1, 0], axis=1)
+
+
+def _grid_bwd_finish(emb, g_dist_rows, scale):
+    """XLA finish: scale, symmetrize, and apply the distance chain rule.
+    O(P B^2 D) matmuls — tiny next to the kernel's O(B^3) part."""
+    x = emb.astype(jnp.float32)                       # (p, bp, dp)
+    g_dist = g_dist_rows * scale[:, None, None]
+    sq = jnp.sum(x * x, axis=2)
+    dot = jnp.einsum("pbd,pcd->pbc", x, x, preferred_element_type=jnp.float32)
+    d2 = jnp.maximum(sq[:, :, None] + sq[:, None, :] - 2.0 * dot, 0.0)
+    dist = jnp.sqrt(jnp.where(d2 > 0, d2, 1.0)) * (d2 > 0)
+    inv_d = jnp.where(dist > 0, 1.0 / jnp.where(dist > 0, dist, 1.0), 0.0)
+    w = (g_dist + jnp.swapaxes(g_dist, 1, 2)) * inv_d
+    row = jnp.sum(w, axis=2, keepdims=True)
+    return row * x - jnp.einsum("pbc,pcd->pbd", w, x,
+                                preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _triplet_pallas_grid(emb_pbd, labels, margin: float, interpret: bool):
+    per_sum, per_cnt = _triplet_fwd_call_grid(emb_pbd, labels, margin,
+                                              interpret)
+    return _combine(per_sum, per_cnt)
+
+
+def _triplet_grid_vjp_fwd(emb_pbd, labels, margin, interpret):
+    per_sum, per_cnt = _triplet_fwd_call_grid(emb_pbd, labels, margin,
+                                              interpret)
+    return _combine(per_sum, per_cnt), (emb_pbd, labels, per_cnt)
+
+
+def _triplet_grid_vjp_bwd(margin, interpret, res, g):
+    emb_pbd, labels, per_cnt = res
+    p, b, d = emb_pbd.shape
+    bp, dp = _round_up(b, 128), _round_up(d, 128)
+    a_blk = _grid_ablock(bp)
+    nblk = bp // a_blk
+    emb, lab = _pad(emb_pbd, labels, bp, dp)
+    scale = jnp.where(per_cnt > 0, g / (jnp.maximum(per_cnt, 1.0) * p), 0.0)
+    spec = _grid_specs(
+        (p, nblk), bp, dp, a_blk,
+        pl.BlockSpec((None, a_blk, bp), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM))
+    g_rows = pl.pallas_call(
+        _bwd_kernel_grid, grid_spec=spec,
+        out_shape=jax.ShapeDtypeStruct((p, bp, bp), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray([margin], jnp.float32), lab, lab, emb, emb)
+    grad = _grid_bwd_finish(emb, g_rows, scale.astype(jnp.float32))
+    return grad[:, :b, :d].astype(emb_pbd.dtype), None
+
+
+_triplet_pallas_grid.defvjp(_triplet_grid_vjp_fwd, _triplet_grid_vjp_bwd)
+
+
 def _pad(emb_pbd, labels, bp, dp):
     p, b, d = emb_pbd.shape
     emb = jnp.zeros((p, bp, dp), jnp.float32).at[:, :b, :d].set(
@@ -262,14 +436,18 @@ def batch_all_triplet_loss_pallas(embeddings: jax.Array, labels: jax.Array,
 
     embeddings: (B, D) or batch-major (B, P, D); labels (B,).
     interpret=True runs the kernels in the Pallas interpreter (CPU tests).
-    Batches above 128 fall back to the XLA formulation (see module
-    docstring); identical semantics either way.
+    Batches up to 128 run the single-instance kernels; 128 < B <=
+    MAX_GRID_B run the gridded variant (one grid step per anchor block);
+    beyond that the XLA formulation takes over.  Identical semantics in
+    every regime.
     """
-    if embeddings.shape[0] > 128:
+    if embeddings.shape[0] > MAX_GRID_B:
         from ugaitnet_tpu.ops.triplet import batch_all_triplet_loss
         return batch_all_triplet_loss(embeddings, labels, margin)
     if embeddings.ndim == 2:
         emb = embeddings[None]
     else:
         emb = jnp.transpose(embeddings, (1, 0, 2))
+    if embeddings.shape[0] > 128:
+        return _triplet_pallas_grid(emb, labels, float(margin), interpret)
     return _triplet_pallas(emb, labels, float(margin), interpret)
