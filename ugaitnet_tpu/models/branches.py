@@ -30,7 +30,9 @@ he_uniform = nn.initializers.he_uniform()
 def _act(activation: str, alpha: float):
     if activation == "relu":
         return nn.relu
-    return lambda x: nn.leaky_relu(x, negative_slope=alpha)
+    # max(x, a*x) == leaky_relu exactly for 0<=a<1, without the select
+    # form's sign-mask materialization (see gaitset.py lrelu note)
+    return lambda x: jnp.maximum(x, alpha * x)
 
 
 class Conv2DBranch(nn.Module):

@@ -113,7 +113,13 @@ class GaitSetBranch(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         """x: (B, T, H, W, C) -> (B, num_parts, part_dim)."""
-        lrelu = lambda v: nn.leaky_relu(v, negative_slope=self.leaky_alpha)
+        # lrelu as max(x, a*x) — EXACT for 0<=a<1 and, unlike
+        # nn.leaky_relu's select form, keeps XLA from materializing a
+        # packed u32 sign-bitmask of the whole 64x64 volume to feed the
+        # next conv's fusion (profiled at 1.1 ms/branch of pure HBM
+        # traffic in the round-3 embed trace)
+        alpha = self.leaky_alpha
+        lrelu = lambda v: jnp.maximum(v, alpha * v)
         b, t, h, w, c = x.shape
         c1, c2, c3 = self.channels
 
