@@ -20,10 +20,22 @@ def test_expected_skips_match_environment():
     import tests.test_integration_tpu as it
     assert "UGAITNET_TPU_TESTS" in str(it.pytestmark.kwargs.get("reason"))
 
-    # 2+3) the two quantize TPU-gated cases share the same gate
+    # 2+3) the two quantize TPU-gated cases: their skipif marks must be
+    # the UGAITNET_TPU_TESTS gate and nothing else — and exactly two of
+    # them must exist (the "3 skipped" summary = these two + the
+    # integration module)
     import tests.test_quantize as tq
-    gated = [n for n in dir(tq) if n.startswith("test_")]
-    assert len(gated) >= 3  # file still has ungated CPU tests too
+    gated = []
+    for n in dir(tq):
+        fn = getattr(tq, n)
+        for mark in getattr(fn, "pytestmark", []):
+            if mark.name == "skipif":
+                # in the CPU suite the gate must be CLOSED (arg True) and
+                # must be about the TPU backend, nothing else
+                assert mark.args[0] is True, n
+                assert "TPU" in str(mark.kwargs.get("reason")), n
+                gated.append(n)
+    assert len(gated) == 2, gated
 
     # reference-parity tests must NOT be skipping: the reference tree and
     # the TF runtime are both present in this image

@@ -170,16 +170,20 @@ def main(argv=None):
                         conf_all[f"probe{int(cam)}_{k}"] = v
                 results[name] = per_cam
             else:
-                conf_all = {}
                 results[name] = eval_openset(get_gallery(), probe,
                                              knn=args.knn,
                                              use_avg=args.useavg,
                                              confusions=conf_all)
             if conf_all:
+                # the filename carries the same discriminators as the
+                # code caches (dataset tag, usemod combo, mirror) so two
+                # eval configurations never overwrite each other's
+                # matrices
                 conf_file = os.path.join(
                     args.experdir,
-                    f"confusions_{name}_e{step}_k{args.knn}"
-                    f"_t{args.typecode}.npz")
+                    f"confusions_{name}_{ds_tag(probe_dir)}_e{step}"
+                    f"_k{args.knn}_t{args.typecode}_{mods_tag}"
+                    f"_mir{int(args.usemirror)}.npz")
                 np.savez_compressed(conf_file, **conf_all)
                 results[name] = {"metrics": results[name],
                                  "confusions_file": conf_file}

@@ -113,16 +113,15 @@ class ExportedEncoder:
             self.warmup()
 
     def warmup(self) -> None:
-        """Run every bucket once on zero batches (idempotent)."""
-        from ugaitnet_tpu.core.config import NUM_FRAMES
-        cfs = self.meta.get("compress_factors",
-                            [100.0] * len(self.modalities))
+        """Run every bucket once on zero batches (idempotent).  The feeds
+        come from each executable's own in_avals — exact shapes AND
+        dtypes, no re-derivation from meta that could drift."""
+        import jax.tree_util as jtu
         for b in self.buckets:
-            raw = {}
-            for m, c, cf in zip(self.modalities, self.channels, cfs):
-                dt = np.int16 if cf > 1 else np.uint8
-                raw[f"raw_{m}"] = np.zeros((b, NUM_FRAMES * c, 60, 60), dt)
-            np.asarray(self.encode(raw))
+            fn = self._fns[b]
+            zeros = [np.zeros(a.shape, a.dtype) for a in fn.in_avals]
+            args, kwargs = jtu.tree_unflatten(fn.in_tree, zeros)
+            np.asarray(fn.call(*args, **kwargs))
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:

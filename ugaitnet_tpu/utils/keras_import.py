@@ -70,11 +70,20 @@ def _collect_weights(h5path: str) -> Dict[str, List[np.ndarray]]:
                 # load_sequential_branch_weights
                 rank = {"kernel": 0, "bias": 1}
 
+                def natural(s):
+                    # Keras global layer counters go past 9 in multi-branch
+                    # nets; plain string order would put conv2d_10 before
+                    # conv2d_2 and transplant kernels into the wrong convs
+                    import re
+                    return tuple(int(t) if t.isdigit() else t
+                                 for t in re.split(r"(\d+)", s))
+
                 def key(item):
                     path, leaf = (item[0].rsplit("/", 1) + [""])[:2]
                     if not leaf:
                         path, leaf = "", item[0]
-                    return (path, rank.get(leaf.split(":")[0], 2), item[0])
+                    return (natural(path), rank.get(leaf.split(":")[0], 2),
+                            natural(item[0]))
                 ws = [a for _, a in sorted(named, key=key)]
             if ws:
                 out[lname] = ws
