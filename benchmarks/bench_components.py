@@ -14,6 +14,7 @@ Prints one human-readable line per measurement plus a final JSON summary.
 """
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -111,6 +112,31 @@ def main():
         tb = timeit(lambda: jnp.sum(jnp.abs(bwd(emb))), reps)
         results[f"triplet_{name}"] = {"fwd_ms": tf_ * 1e3, "bwd_ms": tb * 1e3}
         print(f"  {name}: fwd {tf_*1e3:5.2f} ms  grad {tb*1e3:5.2f} ms")
+
+    # --- triplet crossover: gridded pallas vs XLA past B=128 --------------
+    # the XLA form materializes O(chunk*B^3) in HBM; the gridded kernel is
+    # O(B*D) traffic + O(B^3) VMEM compute.  Measured round 3 (v5e,
+    # fwd+grad): B=256 XLA 18.2 vs gridded 19.5 ms, B=384 XLA 69.5 vs
+    # 75.0 — the kernel never crosses over, so the default dispatch
+    # routes B > 128 to XLA (grid_variant=True forces the kernel).
+    if not args.quick:
+        print("# triplet crossover (P=62, D=256, B sweep)")
+        for bb in (256, 384):
+            embb = jnp.asarray(rng.randn(bb, 62, 256).astype(np.float32))
+            labb = jnp.asarray(
+                np.repeat(np.arange(bb // 8), 8).astype(np.int32))
+            grid_fn = functools.partial(batch_all_triplet_loss_pallas,
+                                        grid_variant=True)
+            for name, fn in (("xla", batch_all_triplet_loss),
+                             ("pallas_grid", grid_fn)):
+                fwd = jax.jit(lambda e, fn=fn: fn(e, labb, 0.2))
+                bwd = jax.jit(jax.grad(lambda e, fn=fn: fn(e, labb, 0.2)))
+                tf_ = timeit(lambda: fwd(embb), reps)
+                tb = timeit(lambda: jnp.sum(jnp.abs(bwd(embb))), reps)
+                results[f"triplet_{name}_b{bb}"] = {
+                    "fwd_ms": tf_ * 1e3, "bwd_ms": tb * 1e3}
+                print(f"  B={bb} {name}: fwd {tf_*1e3:6.2f} ms"
+                      f"  grad {tb*1e3:6.2f} ms")
 
     # --- flagship train step ---------------------------------------------
     print("# flagship train step (2-mod gaitset bf16, 120 samples)")

@@ -182,6 +182,32 @@ def test_casenet_c_code_tap_eval():
     assert codes.shape == (len(ds), 62 * 16)
 
 
+def test_encode_dataset_mesh_matches_single_device(trained):
+    """Data-parallel gallery encoding over the 8-device mesh must match the
+    single-device path. Not bit-exact: with l2_mode="reference" the
+    signature L2 reduces over the (sharded) batch axis and GSPMD
+    reassociates that reduction — measured maxerr ~1.5e-7 fp32. Exercises
+    the trailing-partial-batch padding path (72 samples, bs=16)."""
+    from ugaitnet_tpu.parallel.sharding import make_mesh
+    ds, model, state, _ = trained
+    want = encode_dataset(model, state.params, ds, ("of", "gray"),
+                          typecode=3, batch_size=16)
+    mesh = make_mesh(8)
+    got = encode_dataset(model, state.params, ds, ("of", "gray"),
+                         typecode=3, batch_size=16, mesh=mesh)
+    np.testing.assert_allclose(got[0], want[0], atol=1e-5)
+    for a, b in zip(got[1:], want[1:]):   # labels/vids/cams exact
+        np.testing.assert_array_equal(a, b)
+
+
+def test_encode_dataset_mesh_rejects_indivisible_batch(trained):
+    from ugaitnet_tpu.parallel.sharding import make_mesh
+    ds, model, state, _ = trained
+    with pytest.raises(ValueError, match="not divisible"):
+        encode_dataset(model, state.params, ds, ("of", "gray"),
+                       typecode=3, batch_size=12, mesh=make_mesh(8))
+
+
 def test_knn_sharded_gallery_matches_single_device():
     from ugaitnet_tpu.ops.knn import knn_predict_sharded
     from ugaitnet_tpu.parallel.sharding import make_mesh

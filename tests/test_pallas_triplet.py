@@ -64,8 +64,10 @@ def test_degenerate_batches_no_nan():
 
 
 def test_gridded_kernel_past_128():
-    """128 < B <= MAX_GRID_B runs the gridded kernel (one grid step per
-    anchor block): value and gradient must match the XLA formulation."""
+    """The gridded kernel (one grid step per anchor block,
+    grid_variant=True — not the default dispatch, which routes B > 128
+    to the measured-faster XLA form): value and gradient must match the
+    XLA formulation."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -83,11 +85,12 @@ def test_gridded_kernel_past_128():
     labels = jnp.asarray((np.arange(b) % 10).astype(np.int32))
     v1 = float(batch_all_triplet_loss(emb, labels, 0.2))
     v2 = float(batch_all_triplet_loss_pallas(emb, labels, 0.2,
-                                             interpret=True))
+                                             interpret=True,
+                                             grid_variant=True))
     np.testing.assert_allclose(v1, v2, rtol=1e-6)
     g1 = jax.grad(lambda e: batch_all_triplet_loss(e, labels, 0.2))(emb)
     g2 = jax.grad(lambda e: batch_all_triplet_loss_pallas(
-        e, labels, 0.2, interpret=True))(emb)
+        e, labels, 0.2, interpret=True, grid_variant=True))(emb)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-5)
 
 

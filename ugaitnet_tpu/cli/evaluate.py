@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--usemod", type=float, nargs="+", default=None,
                    help="modality presence mask at eval, e.g. 1 0")
     p.add_argument("--bs", type=int, default=128)
+    p.add_argument("--dp", type=int, default=0,
+                   help="shard encode batches over a data-parallel mesh of "
+                        "N devices (0 = single device)")
     p.add_argument("--outfile", type=str, default="")
     return p
 
@@ -97,6 +100,10 @@ def main(argv=None):
     ecfg = EvalConfig(knn=args.knn, typecode=args.typecode,
                       batch_size=args.bs,
                       mirror_gallery=args.usemirror)
+    mesh = None
+    if args.dp > 0:
+        from ugaitnet_tpu.parallel.sharding import make_mesh
+        mesh = make_mesh(args.dp)
 
     def ds_tag(path):
         # dataset identity in the cache name: distinct dirs sharing a
@@ -123,7 +130,7 @@ def main(argv=None):
                 f"_t{args.typecode}_mir{int(args.usemirror)}.npz")
             gallery = encode_set(model, state.params, gallery_ds,
                                  modalities, ecfg, mirror=args.usemirror,
-                                 cache_path=cache)
+                                 cache_path=cache, mesh=mesh)
         return gallery
 
     combo_memo = {}
@@ -135,7 +142,7 @@ def main(argv=None):
             results[name] = eval_all_combos(
                 model, state.params, gallery_ds, probe_ds, modalities, ecfg,
                 combo_gallery=args.allcombos, use_avg=args.useavg,
-                gallery_memo=combo_memo)
+                gallery_memo=combo_memo, mesh=mesh)
         else:
             # probe codes are cached per test dir like the gallery's
             # (mj_testUWYHGaitNet_open_casiab.py:349-366)
@@ -148,7 +155,7 @@ def main(argv=None):
                 f"_t{args.typecode}_{mods_tag}.npz")
             probe = encode_set(model, state.params, probe_ds, modalities,
                                ecfg, use_mods=args.usemod,
-                               cache_path=probe_cache)
+                               cache_path=probe_cache, mesh=mesh)
             # per-camera confusion matrices ride along with the results,
             # like the reference's all_test_results h5
             # (mj_testUWYHGaitNet_open_casiab.py:415-435)

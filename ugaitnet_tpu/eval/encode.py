@@ -37,26 +37,36 @@ def _tap(out: Dict[str, jax.Array], typecode: int) -> jax.Array:
     return x
 
 
-_ENCODE_CACHE: Dict[Tuple[object, int], object] = {}
+_ENCODE_CACHE: Dict[Tuple[object, int, object], object] = {}
 
 
-def make_encode_fn(model: UGaitNet, typecode: int = 3):
-    # cache per (model config, typecode): eval_all_combos calls
+def make_encode_fn(model: UGaitNet, typecode: int = 3, mesh=None):
+    # cache per (model config, typecode, mesh): eval_all_combos calls
     # encode_dataset up to 2*(2^nmods - 1) times, and a fresh jit closure
     # each time would re-trace the identical computation (cold compiles
     # through the tunnel cost minutes).  The frozen ModelConfig itself is
     # the key (hashable dataclass): dict lookup falls back to __eq__ on a
     # hash collision, so two distinct configs can never alias an entry.
-    key = (model.config, typecode)
+    key = (model.config, typecode, mesh)
     fn = _ENCODE_CACHE.get(key)
     if fn is not None:
         return fn
 
-    @jax.jit
-    def encode(params, volumes, use_flags):
+    def encode_impl(params, volumes, use_flags):
         out = model.apply(params, list(volumes), list(use_flags),
                           train=False)
         return _tap(out, typecode)
+
+    if mesh is None:
+        encode = jax.jit(encode_impl)
+    else:
+        # Data-parallel gallery/probe encoding over a device mesh: params
+        # replicated, batch axis-0 sharded, codes gathered back replicated
+        # (they leave for host numpy immediately).  Per-sample independent
+        # forward -> GSPMD partitions it with zero collectives beyond the
+        # output gather.
+        from ugaitnet_tpu.parallel.sharding import replicated
+        encode = jax.jit(encode_impl, out_shardings=replicated(mesh))
 
     _ENCODE_CACHE[key] = encode
     return encode
@@ -67,7 +77,8 @@ def encode_dataset(model: UGaitNet, params, ds: GaitDataset,
                    typecode: int = 3, batch_size: int = 128,
                    use_mods: Optional[Sequence[float]] = None,
                    mirror: bool = False,
-                   indices: Optional[np.ndarray] = None
+                   indices: Optional[np.ndarray] = None,
+                   mesh=None
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Returns (codes (N,D), labels, video_ids, cams) — raw label space.
 
@@ -75,12 +86,29 @@ def encode_dataset(model: UGaitNet, params, ds: GaitDataset,
     use_mod1/use_mod2 args and the TUM all-combos protocol). mirror=True
     appends a horizontally-mirrored copy of every batch (usemirror gallery
     option, mj_testUWYHGaitNet_open_casiab.py:194-206).
+
+    mesh: optional jax.sharding.Mesh — shards every encode batch over the
+    mesh's data axis (params replicated), for pod-scale gallery encoding.
+    Numerics identical to the single-device path (per-sample forward).
     """
     cfg = DataConfig(batch_size=batch_size, expand_level=1, augment=False)
     pipe = GaitPipeline(ds, cfg, modalities, labmap=None, indices=indices,
                         augment=False)
     n = len(pipe.indices)
-    encode = make_encode_fn(model, typecode)
+    encode = make_encode_fn(model, typecode, mesh)
+    place = lambda t: t  # noqa: E731
+    if mesh is not None:
+        from ugaitnet_tpu.parallel.sharding import (DATA_AXIS, batch_sharding,
+                                                    replicate)
+        ndev = mesh.shape[DATA_AXIS]
+        if batch_size % ndev:
+            raise ValueError(
+                f"encode batch_size {batch_size} not divisible by the "
+                f"{ndev}-device data axis; the padded trailing batch could "
+                "not shard evenly")
+        params = replicate(params, mesh)
+        sh = batch_sharding(mesh)
+        place = lambda t: tuple(jax.device_put(x, sh) for x in t)  # noqa: E731
     if use_mods is None:
         use_mods = [1.0] * len(modalities)
 
@@ -96,15 +124,15 @@ def encode_dataset(model: UGaitNet, params, ds: GaitDataset,
                 [batch_idx, np.full(batch_size - real, batch_idx[-1])])
         vols, flags, _ = pipe.load(batch_idx, key, expand=1)
         flags = [f * u for f, u in zip(flags, use_mods)]
-        codes.append(np.asarray(encode(params, tuple(vols),
-                                       tuple(flags)))[:real])
+        codes.append(np.asarray(encode(params, place(tuple(vols)),
+                                       place(tuple(flags))))[:real])
         metas.append(batch_idx[:real])
         if mirror:
             mvols = [jax.vmap(
                 lambda v, m=m: mirror_volume(v, is_of=(m == "of")))(v)
                 for v, m in zip(vols, modalities)]
-            codes.append(np.asarray(encode(params, tuple(mvols),
-                                           tuple(flags)))[:real])
+            codes.append(np.asarray(encode(params, place(tuple(mvols)),
+                                           place(tuple(flags))))[:real])
             metas.append(batch_idx[:real])
 
     sel = pipe.indices[np.concatenate(metas)]

@@ -64,7 +64,8 @@ def encode_set(model: UGaitNet, params, ds: GaitDataset,
                modalities: Sequence[str], cfg: EvalConfig,
                use_mods: Optional[Sequence[float]] = None,
                mirror: bool = False,
-               cache_path: Optional[str] = None) -> EncodedSet:
+               cache_path: Optional[str] = None,
+               mesh=None) -> EncodedSet:
     """Embed a dataset, with the reference's gallery-code caching
     (codes_gallery_*.h5 pattern, mj_testUWYHGaitNet_open_casiab.py:291-324)."""
     # the cache key pins everything that changes the codes, so reusing one
@@ -76,7 +77,8 @@ def encode_set(model: UGaitNet, params, ds: GaitDataset,
         return EncodedSet.load(cache_path, config_key=key)
     codes, labels, vids, cams = encode_dataset(
         model, params, ds, modalities, typecode=cfg.typecode,
-        batch_size=cfg.batch_size, use_mods=use_mods, mirror=mirror)
+        batch_size=cfg.batch_size, use_mods=use_mods, mirror=mirror,
+        mesh=mesh)
     es = EncodedSet(codes, labels, vids, cams)
     if cache_path:
         es.save(cache_path, config_key=key)
@@ -190,8 +192,8 @@ def eval_all_combos(model: UGaitNet, params, gallery_ds: GaitDataset,
                     probe_ds: GaitDataset, modalities: Sequence[str],
                     cfg: EvalConfig, combo_gallery: bool = False,
                     use_avg: bool = True,
-                    gallery_memo: Optional[Dict] = None
-                    ) -> Dict[str, Dict[str, float]]:
+                    gallery_memo: Optional[Dict] = None,
+                    mesh=None) -> Dict[str, Dict[str, float]]:
     """Probe every modality-presence combo (--allcombostest); optionally
     build the gallery from all combos stacked (--allcombos).
 
@@ -204,7 +206,7 @@ def eval_all_combos(model: UGaitNet, params, gallery_ds: GaitDataset,
     else:
         if combo_gallery:
             parts = [encode_set(model, params, gallery_ds, modalities, cfg,
-                                use_mods=c)
+                                use_mods=c, mesh=mesh)
                      for c in modality_combos(len(modalities))]
             gallery = EncodedSet(
                 codes=np.concatenate([p.codes for p in parts]),
@@ -212,7 +214,8 @@ def eval_all_combos(model: UGaitNet, params, gallery_ds: GaitDataset,
                 video_ids=np.concatenate([p.video_ids for p in parts]),
                 cams=np.concatenate([p.cams for p in parts]))
         else:
-            gallery = encode_set(model, params, gallery_ds, modalities, cfg)
+            gallery = encode_set(model, params, gallery_ds, modalities, cfg,
+                                 mesh=mesh)
         merged_gallery = _merge_codes_per_video(gallery, use_avg)
         if gallery_memo is not None:
             gallery_memo["gallery"] = gallery
@@ -220,7 +223,7 @@ def eval_all_combos(model: UGaitNet, params, gallery_ds: GaitDataset,
     results = {}
     for combo in modality_combos(len(modalities)):
         probe = encode_set(model, params, probe_ds, modalities, cfg,
-                           use_mods=combo)
+                           use_mods=combo, mesh=mesh)
         name = "+".join(m for m, c in zip(modalities, combo) if c)
         results[name] = eval_openset(gallery, probe, knn=cfg.knn,
                                      use_avg=use_avg,
