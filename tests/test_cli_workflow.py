@@ -63,6 +63,27 @@ def test_evaluate_cli(workflow, capsys):
     assert cm.sum() == cm.trace() and cm.sum() > 0
 
 
+def test_evaluate_cli_dp_mesh_matches(workflow, capsys):
+    """--dp 8 shards the encode over the CPU mesh; the protocol results
+    must match the single-device run (codes agree to ~1e-7, and the kNN
+    decisions — discrete — exactly)."""
+    data, experdir = workflow
+    from ugaitnet_tpu.cli.evaluate import main as eval_main
+    args = ["--experdir", experdir, "--gallery", data,
+            "--probes", data, "--protocol", "openset", "--knn", "1",
+            "--bs", "8"]
+    eval_main(args)
+    single = capsys.readouterr().out
+    # wipe the code caches so --dp actually re-encodes
+    import glob
+    for f in glob.glob(os.path.join(experdir, "codes_*.npz")):
+        os.remove(f)
+    eval_main(args + ["--dp", "8"])
+    sharded = capsys.readouterr().out
+    pick = lambda s: [l for l in s.splitlines() if "rank1" in l]  # noqa: E731
+    assert pick(sharded) == pick(single)
+
+
 def test_export_and_serve_from_artifact(workflow, tmp_path):
     data, experdir = workflow
     from ugaitnet_tpu.cli.export_model import main as export_main

@@ -102,8 +102,10 @@ def main(argv=None):
                       mirror_gallery=args.usemirror)
     mesh = None
     if args.dp > 0:
-        from ugaitnet_tpu.parallel.sharding import make_mesh
+        from ugaitnet_tpu.parallel.sharding import make_mesh, replicate
         mesh = make_mesh(args.dp)
+        # one replication up front; per-call device_puts become no-ops
+        state = state.replace(params=replicate(state.params, mesh))
 
     def ds_tag(path):
         # dataset identity in the cache name: distinct dirs sharing a

@@ -89,7 +89,10 @@ def encode_dataset(model: UGaitNet, params, ds: GaitDataset,
 
     mesh: optional jax.sharding.Mesh — shards every encode batch over the
     mesh's data axis (params replicated), for pod-scale gallery encoding.
-    Numerics identical to the single-device path (per-sample forward).
+    The per-sample forward is identical; with l2_mode="reference" the
+    signature L2 reduces over the (sharded) batch axis and GSPMD may
+    reassociate that reduction — measured maxerr ~1.5e-7 fp32 vs the
+    single-device codes (tests/test_eval.py), not bit-exact.
     """
     cfg = DataConfig(batch_size=batch_size, expand_level=1, augment=False)
     pipe = GaitPipeline(ds, cfg, modalities, labmap=None, indices=indices,

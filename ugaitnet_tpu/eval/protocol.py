@@ -200,6 +200,12 @@ def eval_all_combos(model: UGaitNet, params, gallery_ds: GaitDataset,
     gallery_memo: pass the same dict across calls (one per probe dir) to
     encode the gallery once instead of per probe set — a combo gallery is
     2^n - 1 full-gallery forward passes."""
+    if mesh is not None:
+        # replicate once: every encode_set below then sees leaves already
+        # committed to the replicated sharding and its device_put is a
+        # no-op, instead of re-broadcasting the params per combo
+        from ugaitnet_tpu.parallel.sharding import replicate
+        params = replicate(params, mesh)
     if gallery_memo is not None and "gallery" in gallery_memo:
         gallery = gallery_memo["gallery"]
         merged_gallery = gallery_memo["merged"]

@@ -474,7 +474,11 @@ def batch_all_triplet_loss_pallas(embeddings: jax.Array, labels: jax.Array,
     Kept (with tests) as the measured record + a ready fallback if the
     balance shifts on other hardware.
     """
-    if embeddings.shape[0] > MAX_GRID_B:
+    if embeddings.shape[0] > 128 and not (grid_variant
+                                          and embeddings.shape[0]
+                                          <= MAX_GRID_B):
+        # route to XLA before the part-major transpose below — the XLA
+        # form takes the batch-major layout directly
         from ugaitnet_tpu.ops.triplet import batch_all_triplet_loss
         return batch_all_triplet_loss(embeddings, labels, margin)
     if embeddings.ndim == 2:
@@ -482,9 +486,5 @@ def batch_all_triplet_loss_pallas(embeddings: jax.Array, labels: jax.Array,
     else:
         emb = jnp.transpose(embeddings, (1, 0, 2))
     if embeddings.shape[0] > 128:
-        if grid_variant:
-            return _triplet_pallas_grid(emb, labels, float(margin),
-                                        interpret)
-        from ugaitnet_tpu.ops.triplet import batch_all_triplet_loss
-        return batch_all_triplet_loss(embeddings, labels, margin)
+        return _triplet_pallas_grid(emb, labels, float(margin), interpret)
     return _triplet_pallas(emb, labels, float(margin), interpret)
