@@ -76,9 +76,11 @@ def test_flagship_train_and_serve():
     steady = (time.perf_counter() - t0) / 3
     print(f"identify latency: first {first*1e3:.0f} ms, "
           f"steady {steady*1e3:.0f} ms")
-    # generous bound: transient tunnel slowdowns (CLAUDE.md) must not
-    # redden the run — only a genuine compile (minutes) should
-    assert first < max(20 * steady, 10.0), (
+    # generous bound: transient tunnel slowdowns (CLAUDE.md records
+    # >10 s stalls on healthy runs) must not redden the run — only a
+    # genuine compile should, and through the tunnel a compile takes
+    # minutes, so a 60 s floor still separates the two cleanly
+    assert first < max(20 * steady, 60.0), (
         f"cold-start identify {first:.2f}s vs steady {steady:.3f}s — "
         "warmup did not precompile the query bucket")
     np.testing.assert_array_equal(labels, ds.labels[:8])

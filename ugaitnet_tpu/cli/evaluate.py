@@ -194,8 +194,11 @@ def main(argv=None):
                     f"_k{args.knn}_t{args.typecode}_{mods_tag}"
                     f"_mir{int(args.usemirror)}.npz")
                 np.savez_compressed(conf_file, **conf_all)
-                results[name] = {"metrics": results[name],
-                                 "confusions_file": conf_file}
+                # reserved sibling key, NOT a {"metrics": ...} wrapper:
+                # results[name] keeps the same shape whether or not
+                # confusions exist (and as the --allcombos runs), so
+                # consumers index results[name][<metric>] uniformly
+                results[name]["confusions_file"] = conf_file
 
     out = json.dumps(results, indent=2, default=float)
     print(out)

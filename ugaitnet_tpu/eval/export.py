@@ -109,6 +109,7 @@ class ExportedEncoder:
         # output code width, for empty-batch answers
         out_aval = self._fns[self.buckets[0]].out_avals[0]
         self.code_dim = int(out_aval.shape[-1])
+        self.code_dtype = np.dtype(out_aval.dtype)
         if warmup:
             self.warmup()
 
@@ -136,8 +137,10 @@ class ExportedEncoder:
         if n == 0:
             # np.repeat(v[-1:], ...) on a zero-row array would feed a
             # (0, ...) batch into the exported call and fail with an
-            # opaque shape error; an empty query has an empty answer
-            return np.zeros((0, self.code_dim), np.float32)
+            # opaque shape error; an empty query has an empty answer —
+            # in the artifact's own code dtype (bf16 exports must not
+            # promote a concatenation to f32 via this path)
+            return np.zeros((0, self.code_dim), self.code_dtype)
         b = self._bucket(n)
         if b < 0:
             # larger than any bucket: serve in slices of the biggest one

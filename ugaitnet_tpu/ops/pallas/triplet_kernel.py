@@ -46,15 +46,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _guarded_dist(d2):
+    """sqrt with the zero-distance guard — single-sourced so the epsilon
+    and the zero handling can never drift between kernel variants."""
+    d2 = jnp.maximum(d2, 0.0)
+    zero = d2 <= 0.0
+    return jnp.where(zero, 0.0, jnp.sqrt(d2 + jnp.where(zero, 1e-16, 0.0)))
+
+
 def _dist_and_masks(emb, labels, bp):
     """Shared: guarded pairwise distances + validity masks in VMEM."""
     x = emb.astype(jnp.float32)
     sq = jnp.sum(x * x, axis=1)
     dot = jnp.dot(x, x.T, preferred_element_type=jnp.float32)
-    d2 = sq[:, None] + sq[None, :] - 2.0 * dot
-    d2 = jnp.maximum(d2, 0.0)
-    zero = d2 <= 0.0
-    dist = jnp.where(zero, 0.0, jnp.sqrt(d2 + jnp.where(zero, 1e-16, 0.0)))
+    dist = _guarded_dist(sq[:, None] + sq[None, :] - 2.0 * dot)
 
     # masks as float32 throughout — mosaic only supports minor-dim
     # broadcasts on 32-bit types, so no bool[:, None] anywhere.
@@ -77,6 +82,11 @@ def _dist_and_masks(emb, labels, bp):
 # XLA formulation.
 FWD_BLOCK = 32
 BWD_BLOCK = 16
+# Hardware-validated upper bound: at bp=512 one grid step's (1024, 512)
+# fp32 intermediates sit right at the 16M scoped-vmem budget, and Mosaic
+# accepts it — fwd/grad parity vs XLA measured on v5e at B=384 AND B=512
+# (maxerr 3.5e-7 / 2.2e-7).  Raising this further needs a re-run of that
+# probe on hardware first (interpret mode does not check VMEM).
 MAX_GRID_B = 512
 
 
@@ -120,6 +130,32 @@ def _block_2d(d_a, pos, neg, margin, bp, k1):
     return t2, act
 
 
+def _o_mat(a_blk, bp):
+    """O[a, (a2,k)] = 1 iff a2 == a: block row-sum as one MXU matmul
+    (summing act over k for fixed (a, j) — a cross-sublane segmented
+    reduction the VPU has no cheap form for)."""
+    o_cols = jax.lax.broadcasted_iota(
+        jnp.int32, (a_blk, a_blk * bp), 1) // bp
+    o_rows = jax.lax.broadcasted_iota(
+        jnp.int32, (a_blk, a_blk * bp), 0)
+    return (o_cols == o_rows).astype(jnp.float32)
+
+
+def _gdist_rows(act, o_mat, k1):
+    """Distance-gradient rows of one anchor block (shared by the unrolled
+    and gridded backward kernels):
+      g[a, m] = #act(a, j=m, ·) - #act(a, ·, k=m)  =  term1 - term2.
+    term2's row-sums rs[(a,k)] unflatten to (A, B) without the lane->
+    sublane reshape mosaic rejects: broadcast rs over lanes, mask to the
+    k-th lane, and let the block-row one-hot matmul collect them."""
+    term1 = jnp.dot(o_mat, act, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)        # (A, B)
+    rs = jnp.sum(act, axis=1, keepdims=True)                    # ((A*B), 1)
+    term2 = jnp.dot(o_mat, rs * k1, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)        # (A, B)
+    return term1 - term2
+
+
 def _fwd_kernel(margin_ref, labels_ref, emb_ref, out_ref):
     bp = emb_ref.shape[0]
     margin = margin_ref[0]
@@ -156,15 +192,7 @@ def _bwd_kernel(margin_ref, scale_ref, labels_ref, emb_ref, grad_ref):
     dist, same, diff = _dist_and_masks(x, labels_ref[...], bp)
 
     a_blk = BWD_BLOCK
-    # O[a, (a2,k)] = 1 iff a2 == a: block row-sum as one MXU matmul
-    # (summing act over k for fixed (a, j) -- a cross-sublane segmented
-    # reduction the VPU has no cheap form for)
-    o_cols = jax.lax.broadcasted_iota(
-        jnp.int32, (a_blk, a_blk * bp), 1) // bp
-    o_rows = jax.lax.broadcasted_iota(
-        jnp.int32, (a_blk, a_blk * bp), 0)
-    o_mat = (o_cols == o_rows).astype(jnp.float32)
-
+    o_mat = _o_mat(a_blk, bp)
     k1 = _k_onehot(a_blk, bp)
 
     # static block loop (see _fwd_kernel): rows come from static slices
@@ -174,17 +202,7 @@ def _bwd_kernel(margin_ref, scale_ref, labels_ref, emb_ref, grad_ref):
         i0, i1 = blk * a_blk, (blk + 1) * a_blk
         _, act = _block_2d(dist[i0:i1], same[i0:i1], diff[i0:i1],
                            margin, bp, k1)                  # ((A*B), B)
-        # g_rows[a, m] = #act(a, j=m, .) - #act(a, ., k=m)
-        term1 = jnp.dot(o_mat, act, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)       # (A, B)
-        # row-sums rs[(a,k)] unflattened to (A, B) without the lane->
-        # sublane reshape mosaic rejects: broadcast rs over lanes, mask to
-        # the k-th lane, and let the block-row one-hot matmul collect them
-        rs = jnp.sum(act, axis=1, keepdims=True)            # ((A*B), 1)
-        term2 = jnp.dot(o_mat, rs * k1,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)       # (A, B)
-        g_blocks.append(term1 - term2)
+        g_blocks.append(_gdist_rows(act, o_mat, k1))
 
     g_dist = jnp.concatenate(g_blocks, axis=0) * scale
 
@@ -233,10 +251,7 @@ def _rect_dist_and_masks(sel, x, labels, a_blk, bp):
     sqa = jnp.sum(xa * xa, axis=1)
     sq = jnp.sum(x * x, axis=1)
     dot = jnp.dot(xa, x.T, preferred_element_type=jnp.float32)
-    d2 = sqa[:, None] + sq[None, :] - 2.0 * dot
-    d2 = jnp.maximum(d2, 0.0)
-    zero = d2 <= 0.0
-    dist = jnp.where(zero, 0.0, jnp.sqrt(d2 + jnp.where(zero, 1e-16, 0.0)))
+    dist = _guarded_dist(sqa[:, None] + sq[None, :] - 2.0 * dot)
     labf = labels.reshape(bp, 1).astype(jnp.float32)
     la = jnp.dot(sel, labf, preferred_element_type=jnp.float32,
                  precision=jax.lax.Precision.HIGHEST)      # (a_blk, 1)
@@ -272,18 +287,9 @@ def _bwd_kernel_grid(a_blk, margin_ref, labels_ref, emb_ref, gd_ref):
         sel, emb_ref[...], labels_ref[...], a_blk, bp)
     k1 = _k_onehot(a_blk, bp)
     _, act = _block_2d(dist, pos, neg, margin, bp, k1)
-    o_cols = jax.lax.broadcasted_iota(
-        jnp.int32, (a_blk, a_blk * bp), 1) // bp
-    o_rows = jax.lax.broadcasted_iota(
-        jnp.int32, (a_blk, a_blk * bp), 0)
-    o_mat = (o_cols == o_rows).astype(jnp.float32)
-    term1 = jnp.dot(o_mat, act, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-    rs = jnp.sum(act, axis=1, keepdims=True)
-    term2 = jnp.dot(o_mat, rs * k1, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+    g_rows = _gdist_rows(act, _o_mat(a_blk, bp), k1)
     gd_ref[...] = jnp.concatenate(
-        [term1 - term2, jnp.zeros((8 - a_blk, bp), jnp.float32)], axis=0)
+        [g_rows, jnp.zeros((8 - a_blk, bp), jnp.float32)], axis=0)
 
 
 def _grid_specs(grid, bp, dp, out_block):
