@@ -84,3 +84,29 @@ def test_flagship_train_and_serve():
         f"cold-start identify {first:.2f}s vs steady {steady:.3f}s — "
         "warmup did not precompile the query bucket")
     np.testing.assert_array_equal(labels, ds.labels[:8])
+
+
+def test_grid_triplet_kernel_to_max_b_on_hardware():
+    """The gridded pallas triplet kernel up to MAX_GRID_B on the real
+    accelerator.  Interpret mode does not check Mosaic block tiling or the
+    scoped-vmem budget (round-3 hardware finding), and at bp=512 one grid
+    step's intermediates sit right at the 16M limit — so the claim that
+    grid_variant handles B<=MAX_GRID_B is only enforceable here."""
+    import jax
+    import jax.numpy as jnp
+    from ugaitnet_tpu.ops.pallas.triplet_kernel import (
+        MAX_GRID_B, batch_all_triplet_loss_pallas)
+    from ugaitnet_tpu.ops.triplet import batch_all_triplet_loss
+
+    rng = np.random.default_rng(0)
+    for B in (256, MAX_GRID_B):
+        emb = jnp.asarray(rng.normal(size=(B, 8, 256)), jnp.float32)
+        labels = jnp.asarray(np.repeat(np.arange(B // 4), 4), jnp.int32)
+        loss = lambda f: (lambda e: f(e, labels, 0.2))  # noqa: E731
+        grid = lambda e, l, m: batch_all_triplet_loss_pallas(  # noqa: E731
+            e, l, m, grid_variant=True)
+        v_ref, g_ref = jax.jit(jax.value_and_grad(
+            loss(batch_all_triplet_loss)))(emb)
+        v_k, g_k = jax.jit(jax.value_and_grad(loss(grid)))(emb)
+        assert abs(float(v_ref) - float(v_k)) < 1e-4, B
+        assert float(jnp.max(jnp.abs(g_ref - g_k))) < 1e-5, B
