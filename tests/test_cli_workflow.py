@@ -106,3 +106,33 @@ def test_export_and_serve_from_artifact(workflow, tmp_path):
     # warmup path: runs every bucket once, idempotent
     enc2 = ExportedEncoder(art, warmup=True)
     assert np.allclose(enc2.encode(raw), codes)
+
+
+def test_build_data_merge_cli(tmp_path):
+    """--merge aligns per-modality --import-ref-style packed dirs into one
+    multimodal dataset (the two-step migration path in MIGRATION.md §1)."""
+    from ugaitnet_tpu.cli.build_data import main as build_main
+    from ugaitnet_tpu.data.schema import GaitDataset
+    from ugaitnet_tpu.data.synthetic import make_synthetic_dataset
+
+    dirs = []
+    for mod in ("of", "gray"):
+        ds = make_synthetic_dataset(num_subjects=2, videos_per_subject=1,
+                                    subseqs_per_video=2, modalities=(mod,))
+        d = str(tmp_path / mod)
+        ds.save(d)
+        dirs.append(d)
+    out = str(tmp_path / "joint")
+    build_main(["--merge", *dirs, "--outdir", out])
+
+    merged = GaitDataset.load(out)
+    assert set(merged.modality_names) == {"of", "gray"}
+    assert len(merged) == 4
+    # misaligned inputs must fail loudly, not pair wrong samples
+    small = make_synthetic_dataset(num_subjects=1, videos_per_subject=1,
+                                   subseqs_per_video=2, modalities=("gray",))
+    d_bad = str(tmp_path / "bad")
+    small.save(d_bad)
+    with pytest.raises(ValueError, match="not aligned"):
+        build_main(["--merge", dirs[0], d_bad,
+                    "--outdir", str(tmp_path / "x")])

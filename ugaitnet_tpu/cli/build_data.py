@@ -11,6 +11,10 @@ Two source modes:
                      build from raw OF .npz / video files + track .pkl files
                      laid out like the reference expects
   --synthetic        emit a synthetic packed dataset (smoke/testing)
+  --merge DIR [DIR ...]
+                     align already-packed single-modality datasets (built
+                     from the same videos, e.g. one --import-ref run per
+                     modality) into one multimodal dataset
 """
 
 from __future__ import annotations
@@ -38,6 +42,9 @@ def build_parser():
     p.add_argument("--nframes", type=int, default=25)
     p.add_argument("--step", type=int, default=5)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--merge", type=str, nargs="+", default=[],
+                   help="packed single-modality dataset dirs to align into "
+                        "one multimodal dataset (written to --outdir)")
     return p
 
 
@@ -87,7 +94,13 @@ def _iter_raw_videos(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    if args.synthetic:
+    if args.merge:
+        from ugaitnet_tpu.data.builders import merge_modalities
+        from ugaitnet_tpu.data.schema import GaitDataset
+        parts = [GaitDataset.load(d) for d in args.merge]
+        ds = merge_modalities(parts, name=os.path.basename(
+            args.outdir.rstrip("/")) or "merged")
+    elif args.synthetic:
         from ugaitnet_tpu.data.synthetic import make_synthetic_dataset
         ds = make_synthetic_dataset()
     elif args.import_ref:

@@ -201,7 +201,13 @@ def build_dataset(videos: Iterable[TrackedVideo],
 def merge_modalities(datasets: Sequence[GaitDataset], name: str
                      ) -> GaitDataset:
     """Align single-modality datasets built from the same videos into one
-    multimodal dataset (intersection on (label, video_id, window index))."""
+    multimodal dataset.
+
+    Requires sample-exact alignment (same length and video_id sequence):
+    the packed stores carry no window index, so a partial overlap cannot be
+    re-paired safely — rebuild the inputs from identical video/track inputs
+    instead. Metadata (labels/gaits/cams/set_ids) is taken from the first
+    dataset. CLI: `cli.build_data --merge DIR DIR --outdir OUT`."""
     base = datasets[0]
     n = len(base)
     for d in datasets[1:]:
