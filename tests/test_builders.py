@@ -120,3 +120,50 @@ def test_combine_datasets_offsets():
     assert j.dataset_source.sum() == len(b)
     # video ids disjoint
     assert not (set(j.video_ids[:len(a)]) & set(j.video_ids[len(a):]))
+
+
+def test_merge_modalities_guards():
+    """merge_modalities refuses every silent-mispairing input (review
+    findings): duplicate modality, metadata mismatch with equal video_ids,
+    ntype mismatch; and keeps dataset_source for --normstats."""
+    from ugaitnet_tpu.data.builders import merge_modalities
+    from ugaitnet_tpu.data.synthetic import make_synthetic_dataset
+
+    kw = dict(num_subjects=2, videos_per_subject=1, subseqs_per_video=2)
+    d_of = make_synthetic_dataset(modalities=("of",), **kw)
+    d_gray = make_synthetic_dataset(modalities=("gray",), **kw)
+
+    # duplicate modality across inputs
+    with pytest.raises(ValueError, match="duplicate modality"):
+        merge_modalities([d_of, d_of], name="x")
+
+    # same video_ids (per-build counters) but different labels must fail
+    d_bad = make_synthetic_dataset(modalities=("gray",), **kw)
+    d_bad.labels = d_bad.labels[::-1].copy()
+    assert np.array_equal(d_bad.video_ids, d_of.video_ids)
+    with pytest.raises(ValueError, match="not aligned"):
+        merge_modalities([d_of, d_bad], name="x")
+
+    # ntype mismatch would mis-dequantize OF
+    d_nt = make_synthetic_dataset(modalities=("gray",), **kw)
+    d_nt.ntype = 1
+    with pytest.raises(ValueError, match="ntype"):
+        merge_modalities([d_of, d_nt], name="x")
+
+    # dataset_source survives the merge (per-dataset norm stats)
+    src = np.zeros(len(d_of), np.int32)
+    src[len(d_of) // 2:] = 1
+    d_of.dataset_source = src
+    merged = merge_modalities([d_of, d_gray], name="m")
+    assert np.array_equal(merged.dataset_source, src)
+
+
+def test_build_data_merge_rejects_outdir_overlap(tmp_path):
+    from ugaitnet_tpu.cli.build_data import main as build_main
+    from ugaitnet_tpu.data.synthetic import make_synthetic_dataset
+    d = str(tmp_path / "of")
+    make_synthetic_dataset(num_subjects=2, videos_per_subject=1,
+                           subseqs_per_video=2,
+                           modalities=("of",)).save(d)
+    with pytest.raises(SystemExit, match="outdir"):
+        build_main(["--merge", d, "--outdir", d])

@@ -97,6 +97,12 @@ def main(argv=None):
     if args.merge:
         from ugaitnet_tpu.data.builders import merge_modalities
         from ugaitnet_tpu.data.schema import GaitDataset
+        # the inputs are mmap'd; saving over one would truncate pages the
+        # merge output still reads (SIGBUS / corrupt store)
+        out = os.path.realpath(args.outdir)
+        for d in args.merge:
+            if os.path.realpath(d) == out:
+                raise SystemExit(f"--outdir must differ from input {d}")
         parts = [GaitDataset.load(d) for d in args.merge]
         ds = merge_modalities(parts, name=os.path.basename(
             args.outdir.rstrip("/")) or "merged")

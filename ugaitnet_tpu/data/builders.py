@@ -211,16 +211,38 @@ def merge_modalities(datasets: Sequence[GaitDataset], name: str
     base = datasets[0]
     n = len(base)
     for d in datasets[1:]:
-        if len(d) != n or not np.array_equal(d.video_ids, base.video_ids):
+        # video_ids are per-build counters, so equality alone can hold for
+        # builds over *different* video sets — compare every metadata
+        # column to refuse pairing sample i's volumes with sample j's label
+        if (len(d) != n
+                or not np.array_equal(d.video_ids, base.video_ids)
+                or not np.array_equal(d.labels, base.labels)
+                or not np.array_equal(d.gaits, base.gaits)
+                or not np.array_equal(d.cams, base.cams)):
             raise ValueError("modality datasets are not aligned; build them "
                              "from identical video/track inputs")
+        if d.ntype != base.ntype:
+            raise ValueError(f"ntype differs: {base.name} {base.ntype}, "
+                             f"{d.name} {d.ntype} — ntype selects the OF "
+                             "dequantization scale, so one store would "
+                             "decode wrongly")
     mods = {}
     for d in datasets:
-        mods.update(d.modalities)
-    return GaitDataset(name=name, modalities=mods, labels=base.labels,
-                       video_ids=base.video_ids, gaits=base.gaits,
-                       cams=base.cams, set_ids=base.set_ids,
-                       ntype=base.ntype)
+        for m, store in d.modalities.items():
+            if m in mods:
+                raise ValueError(
+                    f"duplicate modality '{m}' across inputs — merging "
+                    "would silently drop one store; pass one dataset per "
+                    "modality")
+            mods[m] = store
+    out = GaitDataset(name=name, modalities=mods, labels=base.labels,
+                      video_ids=base.video_ids, gaits=base.gaits,
+                      cams=base.cams, set_ids=base.set_ids,
+                      ntype=base.ntype)
+    src = getattr(base, "dataset_source", None)
+    if src is not None:   # joint inputs: keep per-dataset norm-stats usable
+        out.dataset_source = src
+    return out
 
 
 def load_silhouette_frames(dirpath: str, pattern: str = "*.png"
