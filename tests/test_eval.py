@@ -219,3 +219,27 @@ def test_knn_sharded_gallery_matches_single_device():
     mesh = make_mesh(8)
     got = knn_predict_sharded(probes, gal, labs, mesh, k=3)
     np.testing.assert_array_equal(got, want)
+
+
+def test_encode_tail_batch_padding_is_exact(trained):
+    """The padded trailing batch must produce the same codes as encoding
+    those samples alone: padded rows carry use_flags==0, so under the
+    default l2_mode="reference" batch-axis signature L2 they contribute
+    nothing to the column norms (duplicate-row padding skewed every real
+    tail code — round-3 review finding)."""
+    ds, model, state, _ = trained
+    assert model.config.l2_mode == "reference"
+    n = len(ds)
+    bs = 8
+    tail = n % bs if n % bs else 3   # force a partial tail via indices
+    nn_ = n if n % bs else n - (bs - 3)
+    idx = np.arange(nn_)
+    codes, _, _, _ = encode_dataset(model, state.params, ds,
+                                    ("of", "gray"), batch_size=bs,
+                                    indices=idx)
+    # ground truth: the tail samples encoded alone at their true size
+    tail_idx = idx[nn_ - tail:]
+    want, _, _, _ = encode_dataset(model, state.params, ds,
+                                   ("of", "gray"), batch_size=tail,
+                                   indices=tail_idx)
+    np.testing.assert_allclose(codes[nn_ - tail:], want, rtol=0, atol=0)

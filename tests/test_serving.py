@@ -122,3 +122,24 @@ def test_exported_encoder_platform_guard(service, tmp_path):
     json.dump(meta, open(os.path.join(out, "meta.json"), "w"))
     with pytest.raises(RuntimeError, match="exported for platform"):
         ExportedEncoder(out)
+
+
+def test_oversize_query_chunks_through_max_bucket(service):
+    """n > max(buckets) must chunk through the warmed largest bucket, not
+    jit a fresh padded shape per oversize n (the 'steady-state serving
+    never recompiles' contract; round-3 review finding)."""
+    ds, svc = service
+    n = 19   # buckets are (4, 16): forces 16 + 3->4 chunks
+    raw = {"raw_of": ds.modalities["of"].volumes[:n],
+           "raw_gray": ds.modalities["gray"].volumes[:n],
+           "present_of": np.ones(n, np.float32),
+           "present_gray": np.ones(n, np.float32)}
+    labels, dists = svc.identify_raw(raw)
+    assert labels.shape == (n,) and dists.shape == (n, 3)
+    np.testing.assert_array_equal(labels, ds.labels[:n])
+    # codes are per-sample (serving forces l2_mode="feature"), so the
+    # chunked answers must equal per-row single queries
+    one = {k: np.asarray(v)[16:17] for k, v in raw.items()}
+    l_one, d_one = svc.identify_raw(one)
+    assert l_one[0] == labels[16]
+    np.testing.assert_allclose(d_one[0], dists[16], rtol=1e-5)

@@ -109,3 +109,42 @@ def test_val_metrics_real_path(tiny_ds, tmp_path):
     vm = t._val_metrics(state, pipe)
     assert np.isfinite(vm["loss"])
     assert "id_ce" in vm
+
+
+def test_early_stop_survives_restart(tiny_ds, tmp_path, monkeypatch):
+    """Once EarlyStopOnAccuracy fires, a restarted run must NOT resume the
+    main loop toward tcfg.epochs (round-3 review finding: the stop
+    decision lived only in process memory; the plateau state was
+    persisted but the stop was not)."""
+    mcfg, dcfg, tcfg = _tiny_cfgs()
+    monkeypatch.setattr(Trainer, "_val_metrics",
+                        lambda self, state, pipe: {"loss": 1.0})
+    monkeypatch.setattr(Trainer, "_validate",
+                        lambda self, state, ds, idx, epoch=0: {})
+    # force the stop right after epoch 2 by faking perfect train accuracy
+    real_epoch = Trainer._epoch
+
+    def fake_epoch(self, state, pipe, sampler, epoch, seed):
+        state, m = real_epoch(self, state, pipe, sampler, epoch, seed)
+        m["acc"] = 1.0 if epoch >= 1 else 0.0
+        return state, m
+
+    monkeypatch.setattr(Trainer, "_epoch", fake_epoch)
+    exp = str(tmp_path / "exp")
+    t = Trainer(mcfg, dcfg, tcfg, exp)
+    t.fit(tiny_ds, val_perc=0.3)
+    stopped_at = ckpt.latest_checkpoint_step(exp)
+    assert stopped_at < tcfg.epochs
+
+    # restart: epochs beyond the stop must not run
+    calls = []
+
+    def counting_epoch(self, state, pipe, sampler, epoch, seed):
+        calls.append(epoch)
+        return real_epoch(self, state, pipe, sampler, epoch, seed)
+
+    monkeypatch.setattr(Trainer, "_epoch", counting_epoch)
+    t2 = Trainer(mcfg, dcfg, tcfg, exp)
+    t2.fit(tiny_ds, val_perc=0.3)
+    assert calls == [], f"main loop re-ran epochs {calls} after early stop"
+    assert ckpt.latest_checkpoint_step(exp) == stopped_at

@@ -97,6 +97,17 @@ def main(argv=None):
         bdir = os.path.join(args.experdir, "ckpt", "best")
         step = f"best{int(os.path.getmtime(bdir))}"
     modalities = tuple(b.modality for b in mcfg.branches)
+    # models trained with --normstats persist their standardization
+    # (trainer writes norm_stats.npz); encode with the same stats or the
+    # net sees inputs on the wrong scale
+    norm_stats = None
+    ns_path = os.path.join(args.experdir, "norm_stats.npz")
+    if os.path.exists(ns_path):
+        z = np.load(ns_path)
+        norm_stats = {m: (z[f"mean_{m}"], z[f"std_{m}"])
+                      for m in modalities}
+        print("* using persisted norm_stats.npz standardization",
+              flush=True)
     ecfg = EvalConfig(knn=args.knn, typecode=args.typecode,
                       batch_size=args.bs,
                       mirror_gallery=args.usemirror)
@@ -129,10 +140,12 @@ def main(argv=None):
             cache = os.path.join(
                 args.experdir,
                 f"codes_gallery_{ds_tag(args.gallery)}_e{step}"
-                f"_t{args.typecode}_mir{int(args.usemirror)}.npz")
+                f"_t{args.typecode}_bs{args.bs}"
+                f"_mir{int(args.usemirror)}.npz")
             gallery = encode_set(model, state.params, gallery_ds,
                                  modalities, ecfg, mirror=args.usemirror,
-                                 cache_path=cache, mesh=mesh)
+                                 cache_path=cache, mesh=mesh,
+                                 norm_stats=norm_stats)
         return gallery
 
     combo_memo = {}
@@ -144,7 +157,8 @@ def main(argv=None):
             results[name] = eval_all_combos(
                 model, state.params, gallery_ds, probe_ds, modalities, ecfg,
                 combo_gallery=args.allcombos, use_avg=args.useavg,
-                gallery_memo=combo_memo, mesh=mesh)
+                gallery_memo=combo_memo, mesh=mesh,
+                norm_stats=norm_stats)
         else:
             # probe codes are cached per test dir like the gallery's
             # (mj_testUWYHGaitNet_open_casiab.py:349-366)
@@ -154,10 +168,11 @@ def main(argv=None):
             probe_cache = os.path.join(
                 args.experdir,
                 f"codes_probe_{name}_{ds_tag(probe_dir)}_e{step}"
-                f"_t{args.typecode}_{mods_tag}.npz")
+                f"_t{args.typecode}_bs{args.bs}_{mods_tag}.npz")
             probe = encode_set(model, state.params, probe_ds, modalities,
                                ecfg, use_mods=args.usemod,
-                               cache_path=probe_cache, mesh=mesh)
+                               cache_path=probe_cache, mesh=mesh,
+                               norm_stats=norm_stats)
             # per-camera confusion matrices ride along with the results,
             # like the reference's all_test_results h5
             # (mj_testUWYHGaitNet_open_casiab.py:415-435)

@@ -78,7 +78,7 @@ def encode_dataset(model: UGaitNet, params, ds: GaitDataset,
                    use_mods: Optional[Sequence[float]] = None,
                    mirror: bool = False,
                    indices: Optional[np.ndarray] = None,
-                   mesh=None
+                   mesh=None, norm_stats=None
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Returns (codes (N,D), labels, video_ids, cams) — raw label space.
 
@@ -95,8 +95,11 @@ def encode_dataset(model: UGaitNet, params, ds: GaitDataset,
     single-device codes (tests/test_eval.py), not bit-exact.
     """
     cfg = DataConfig(batch_size=batch_size, expand_level=1, augment=False)
+    # norm_stats: the per-dataset standardization the model was trained
+    # with (--normstats); encoding without it feeds the net inputs on a
+    # different scale than training saw
     pipe = GaitPipeline(ds, cfg, modalities, labmap=None, indices=indices,
-                        augment=False)
+                        augment=False, norm_stats=norm_stats)
     n = len(pipe.indices)
     encode = make_encode_fn(model, typecode, mesh)
     place = lambda t: t  # noqa: E731
@@ -119,14 +122,23 @@ def encode_dataset(model: UGaitNet, params, ds: GaitDataset,
     key = jax.random.PRNGKey(0)
     for batch_idx in SequentialSampler(n, batch_size).epoch():
         # pad the trailing partial batch to the full size so it reuses the
-        # compiled executable (a fresh shape costs minutes on cold caches);
-        # padded rows are sliced off after the forward.
+        # compiled executable (a fresh shape costs minutes on cold caches).
+        # Padded rows get use_flags == 0: gating then zeroes their
+        # embeddings, so under l2_mode="reference" (batch-axis signature
+        # L2) they contribute nothing to the column norms and the real
+        # rows are bit-identical to an unpadded forward — duplicate-row
+        # padding would instead skew every real code in the tail batch.
         real = len(batch_idx)
+        valid = None
         if real < batch_size:
             batch_idx = np.concatenate(
                 [batch_idx, np.full(batch_size - real, batch_idx[-1])])
+            valid = np.zeros(batch_size, np.float32)
+            valid[:real] = 1.0
         vols, flags, _ = pipe.load(batch_idx, key, expand=1)
         flags = [f * u for f, u in zip(flags, use_mods)]
+        if valid is not None:
+            flags = [f * valid for f in flags]
         codes.append(np.asarray(encode(params, place(tuple(vols)),
                                        place(tuple(flags))))[:real])
         metas.append(batch_idx[:real])

@@ -65,20 +65,24 @@ def encode_set(model: UGaitNet, params, ds: GaitDataset,
                use_mods: Optional[Sequence[float]] = None,
                mirror: bool = False,
                cache_path: Optional[str] = None,
-               mesh=None) -> EncodedSet:
+               mesh=None, norm_stats=None) -> EncodedSet:
     """Embed a dataset, with the reference's gallery-code caching
     (codes_gallery_*.h5 pattern, mj_testUWYHGaitNet_open_casiab.py:291-324)."""
     # the cache key pins everything that changes the codes, so reusing one
     # cache_path across configurations fails loudly instead of silently
     # returning stale embeddings
+    # batch_size is part of the key: under l2_mode="reference" the
+    # signature L2 reduces over the batch axis, so codes depend on how
+    # the set was batched (a reference quirk, not an implementation one)
     key = (f"typecode={cfg.typecode};mirror={int(mirror)};"
+           f"bs={cfg.batch_size};norm={int(norm_stats is not None)};"
            f"use_mods={list(use_mods) if use_mods is not None else 'all'}")
     if cache_path and os.path.exists(cache_path):
         return EncodedSet.load(cache_path, config_key=key)
     codes, labels, vids, cams = encode_dataset(
         model, params, ds, modalities, typecode=cfg.typecode,
         batch_size=cfg.batch_size, use_mods=use_mods, mirror=mirror,
-        mesh=mesh)
+        mesh=mesh, norm_stats=norm_stats)
     es = EncodedSet(codes, labels, vids, cams)
     if cache_path:
         es.save(cache_path, config_key=key)
@@ -193,7 +197,8 @@ def eval_all_combos(model: UGaitNet, params, gallery_ds: GaitDataset,
                     cfg: EvalConfig, combo_gallery: bool = False,
                     use_avg: bool = True,
                     gallery_memo: Optional[Dict] = None,
-                    mesh=None) -> Dict[str, Dict[str, float]]:
+                    mesh=None, norm_stats=None
+                    ) -> Dict[str, Dict[str, float]]:
     """Probe every modality-presence combo (--allcombostest); optionally
     build the gallery from all combos stacked (--allcombos).
 
@@ -212,7 +217,8 @@ def eval_all_combos(model: UGaitNet, params, gallery_ds: GaitDataset,
     else:
         if combo_gallery:
             parts = [encode_set(model, params, gallery_ds, modalities, cfg,
-                                use_mods=c, mesh=mesh)
+                                use_mods=c, mesh=mesh,
+                                norm_stats=norm_stats)
                      for c in modality_combos(len(modalities))]
             gallery = EncodedSet(
                 codes=np.concatenate([p.codes for p in parts]),
@@ -221,7 +227,7 @@ def eval_all_combos(model: UGaitNet, params, gallery_ds: GaitDataset,
                 cams=np.concatenate([p.cams for p in parts]))
         else:
             gallery = encode_set(model, params, gallery_ds, modalities, cfg,
-                                 mesh=mesh)
+                                 mesh=mesh, norm_stats=norm_stats)
         merged_gallery = _merge_codes_per_video(gallery, use_avg)
         if gallery_memo is not None:
             gallery_memo["gallery"] = gallery
@@ -229,7 +235,8 @@ def eval_all_combos(model: UGaitNet, params, gallery_ds: GaitDataset,
     results = {}
     for combo in modality_combos(len(modalities)):
         probe = encode_set(model, params, probe_ds, modalities, cfg,
-                           use_mods=combo, mesh=mesh)
+                           use_mods=combo, mesh=mesh,
+                           norm_stats=norm_stats)
         name = "+".join(m for m, c in zip(modalities, combo) if c)
         results[name] = eval_openset(gallery, probe, knn=cfg.knn,
                                      use_avg=use_avg,

@@ -169,21 +169,26 @@ class SignatureService:
         if self._gallery_codes is None:
             raise RuntimeError("no gallery set")
         import numpy as _np
-        from ugaitnet_tpu.core.config import MODALITY_CHANNELS, NUM_FRAMES
+        from ugaitnet_tpu.core.config import (FRAME_H, FRAME_W,
+                                              MODALITY_CHANNELS, NUM_FRAMES)
         for b in self.buckets:
             raw = {}
             for m in self.modalities:
                 c = MODALITY_CHANNELS[m]
                 dt = _np.int16 if self.compress_factors[
                     self.modalities.index(m)] > 1 else _np.uint8
-                raw[f"raw_{m}"] = _np.zeros((b, NUM_FRAMES * c, 60, 60), dt)
+                # same spec derivation as eval/export._raw_specs — a
+                # hard-coded shape here would precompile buckets no live
+                # query ever hits
+                raw[f"raw_{m}"] = _np.zeros(
+                    (b, NUM_FRAMES * c, FRAME_H, FRAME_W), dt)
             self.identify_raw(raw)
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
             if n <= b:
                 return b
-        return int(np.ceil(n / self.buckets[-1]) * self.buckets[-1])
+        raise AssertionError("identify_raw chunks n > max bucket")
 
     def identify_raw(self, raw: Dict[str, np.ndarray]
                      ) -> Tuple[np.ndarray, np.ndarray]:
@@ -193,6 +198,20 @@ class SignatureService:
         if self._gallery_codes is None:
             raise RuntimeError("no gallery set")
         n = next(iter(raw.values())).shape[0]
+        top = self.buckets[-1]
+        if n > top:
+            # chunk through the largest (warmed) bucket instead of
+            # compiling a fresh padded shape per oversize query — the
+            # module contract is that steady-state serving never
+            # recompiles (same strategy as ExportedEncoder.encode)
+            preds, dists = [], []
+            for s in range(0, n, top):
+                chunk = {k: np.asarray(v)[s:s + top]
+                         for k, v in raw.items()}
+                p, d = self.identify_raw(chunk)
+                preds.append(p)
+                dists.append(d)
+            return np.concatenate(preds), np.concatenate(dists)
         nb = self._bucket(n)
         padded = {}
         for m in self.modalities:

@@ -63,7 +63,12 @@ def summarize_xplane(path_or_dir: str, iters: int = 1,
         total: collections.Counter = collections.Counter()
         count: collections.Counter = collections.Counter()
         for line in plane.lines:
-            if "xla op" not in line.name.lower():
+            lname = line.name.lower()
+            # the "Async XLA Ops" line carries copy-start/copy-done SPANS
+            # that overlap compute; summing them as op times reproduces
+            # the round-2 misread ("30 ms of conv wgrad" that was copy
+            # spans — benchmarks/BUDGET.md). Only the sync op line counts.
+            if "xla op" not in lname or "async" in lname:
                 continue
             for ev in line.events:
                 name = evmeta.get(ev.metadata_id, "?")

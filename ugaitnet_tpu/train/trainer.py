@@ -83,6 +83,15 @@ class Trainer:
         os.makedirs(experdir, exist_ok=True)
         dump_json(os.path.join(experdir, "config.json"),
                   model=mcfg, data=dcfg, train=tcfg)
+        if norm_stats is not None:
+            # persist the standardization the model is trained with so
+            # evaluation/serving can reproduce it (the reference passes
+            # its normalize-h5 paths to the eval mains by hand); loaded
+            # automatically by cli/evaluate.py
+            import numpy as _np
+            _np.savez(os.path.join(experdir, "norm_stats.npz"),
+                      **{f"mean_{m}": v[0] for m, v in norm_stats.items()},
+                      **{f"std_{m}": v[1] for m, v in norm_stats.items()})
         self.model = UGaitNet(mcfg)
         self.tx = make_optimizer(tcfg)
         self.mesh = mesh
@@ -116,11 +125,13 @@ class Trainer:
             return None
 
     def _save_controller_state(self, plateau: ReduceLROnPlateau,
-                               best_monitor: float) -> None:
+                               best_monitor: float,
+                               early_stopped: bool = False) -> None:
         import json
         rec = {"plateau_best": float(plateau.best),
                "plateau_wait": int(plateau.wait),
-               "best_monitor": float(best_monitor)}
+               "best_monitor": float(best_monitor),
+               "early_stopped": bool(early_stopped)}
         with open(self._controller_path(), "w") as f:
             json.dump(rec, f)
 
@@ -237,7 +248,8 @@ class Trainer:
                   val_idx: np.ndarray, epoch: int = 0) -> Dict[str, float]:
         codes, labels, _, _ = encode_dataset(
             self.model, state.params, ds, self.modalities, typecode=3,
-            batch_size=max(self.dcfg.batch_size, 32), indices=val_idx)
+            batch_size=max(self.dcfg.batch_size, 32), indices=val_idx,
+            norm_stats=self.norm_stats)
         # projector export + first-conv filter images, like the TUM mains'
         # per-chunk visual logging (mains/..._1mod.py:553-612)
         try:
@@ -288,8 +300,15 @@ class Trainer:
             plateau.wait = cstate.get("plateau_wait", plateau.wait)
         best_monitor = (cstate or {}).get("best_monitor", np.inf)
         early = EarlyStopOnAccuracy(0.99)
+        # the stop decision must survive a restart: resuming from the
+        # early-stop checkpoint and re-entering the loop would silently
+        # train on toward tcfg.epochs, undoing the stop
+        early_stopped = bool((cstate or {}).get("early_stopped", False))
+        if early_stopped:
+            print("* early stop recorded in controller.json — skipping "
+                  "the main loop", flush=True)
 
-        while epoch < tcfg.epochs:
+        while not early_stopped and epoch < tcfg.epochs:
             if len(sampler) == 0:
                 raise ValueError(
                     f"training split has {len(sampler.labels)} samples — "
@@ -321,6 +340,9 @@ class Trainer:
             if "acc" in m and early.update(m["acc"]):
                 print(f"* early stop at epoch {epoch} (train acc "
                       f"{m['acc']:.3f})", flush=True)
+                early_stopped = True
+                self._save_controller_state(plateau, best_monitor,
+                                            early_stopped=True)
                 break
 
         ckpt.save_checkpoint(self.experdir, epoch, state)
