@@ -167,3 +167,87 @@ def test_build_data_merge_rejects_outdir_overlap(tmp_path):
                            modalities=("of",)).save(d)
     with pytest.raises(SystemExit, match="outdir"):
         build_main(["--merge", d, "--outdir", d])
+
+
+def test_extract_windows_uses_frame_ids():
+    """A track starting mid-video must select content frames by their
+    recorded ids — the reference indexes of[full_frames[i:i+n]]
+    (generateOFData.py:106-109). Windowing over the raw frame array paired
+    pre-track frames with track boxes (round-3 review finding)."""
+    t_video, t_track, off = 120, 40, 37
+    rng = np.random.RandomState(2)
+    frames = rng.randint(0, 255, (t_video, 240, 320)).astype(np.uint8)
+    boxes = np.zeros((t_track, 4))
+    for i in range(t_track):
+        x = 40 + i * 2
+        boxes[i] = [60, x, 200, x + 60]
+    ids = np.arange(off, off + t_track)
+    v = TrackedVideo(frames=frames, boxes=boxes, label=1, gait=0,
+                     frame_ids=ids)
+    wins = extract_windows(v, "gray", n_frames=25, step=5)
+    # equivalent: pre-index the frames by the ids (track-aligned video)
+    v2 = TrackedVideo(frames=frames[ids], boxes=boxes, label=1, gait=0)
+    wins2 = extract_windows(v2, "gray", n_frames=25, step=5)
+    assert len(wins) == len(wins2) == 3   # i+1+25 < 40 -> i in {0,5,10}
+    for a, b in zip(wins, wins2):
+        np.testing.assert_array_equal(a, b)
+    # ids past the frame array fail loudly, not via numpy wraparound
+    bad = TrackedVideo(frames=frames[:50], boxes=boxes, label=1, gait=0,
+                       frame_ids=ids)
+    with pytest.raises(ValueError, match="frame_ids"):
+        extract_windows(bad, "gray", n_frames=25, step=5)
+
+
+def test_build_dataset_assigns_distinct_default_video_ids():
+    """TrackedVideo.video_id defaults to None -> build_dataset numbers the
+    videos; all-zero ids collapsed video-level eval and val splits."""
+    vids = [TrackedVideo(frames=_video().frames, boxes=_video().boxes,
+                         label=i, gait=0) for i in range(3)]
+    ds = build_dataset(vids, "gray", name="t")
+    assert len(np.unique(ds.video_ids)) == 3
+
+
+def test_combine_rejects_secondary_only_modality():
+    a = make_synthetic_dataset(num_subjects=2, modalities=("gray",))
+    b = make_synthetic_dataset(num_subjects=2, modalities=("gray", "of"))
+    with pytest.raises(ValueError, match="absent"):
+        combine_datasets(a, b)
+
+
+def test_norm_stats_streaming_matches_dense():
+    """The chunked mean/std must equal the old full-materialization math."""
+    from ugaitnet_tpu.data.pipeline import compute_normalization_stats
+    ds = make_synthetic_dataset(num_subjects=3, modalities=("of", "gray"))
+    for m in ("of", "gray"):
+        mean, std = compute_normalization_stats(ds, m)
+        st = ds.modalities[m]
+        x = np.asarray(st.volumes, np.float64)
+        if st.compress_factor > 1:
+            x = x / st.compress_factor * (0.1 if ds.ntype == 2 else 1.0)
+        else:
+            x = x / 255.0 - (0.0 if m == "silhouette" else 0.5)
+        np.testing.assert_allclose(mean, x.mean(axis=(0, 2, 3)), atol=1e-6)
+        np.testing.assert_allclose(std, x.std(axis=(0, 2, 3)), atol=1e-6)
+        # source mask selects a subset
+        sel = np.zeros(len(ds), bool)
+        sel[::2] = True
+        m2, s2 = compute_normalization_stats(ds, m, sel)
+        np.testing.assert_allclose(m2, x[sel].mean(axis=(0, 2, 3)),
+                                   atol=1e-6)
+
+
+def test_norm_stats_source_coverage_guard():
+    """One stat row + a source=1 sample must raise, not clamp to row 0."""
+    import jax
+    from ugaitnet_tpu.core.config import DataConfig
+    from ugaitnet_tpu.data.pipeline import GaitPipeline
+    a = make_synthetic_dataset(num_subjects=2, seed=0, name="a")
+    b = make_synthetic_dataset(num_subjects=2, seed=1, name="b")
+    j = combine_datasets(a, b)
+    pipe = GaitPipeline(j, DataConfig(batch_size=4, expand_level=1,
+                                      augment=False), ("of", "gray"),
+                        augment=False,
+                        norm_stats={"of": (np.zeros(50), np.ones(50)),
+                                    "gray": (np.zeros(25), np.ones(25))})
+    with pytest.raises(ValueError, match="dataset_source"):
+        pipe.load(np.arange(len(j) - 4, len(j)), jax.random.PRNGKey(0))

@@ -84,12 +84,18 @@ def _iter_raw_videos(args):
                     frames = load_video_frames(
                         src, gray=(args.modality != "rgb"))
                 video_id += 1
+                # OF arrays stay whole and extract_windows selects frames
+                # by their track frame ids (generateOFData.py:106-109);
+                # decoded videos are pre-indexed by those ids, so their
+                # frames are already track-aligned (frame_ids=None)
                 yield TrackedVideo(
                     frames=frames[np.asarray(frame_ids[0], int)]
                     if args.modality != "of" else frames,
                     boxes=np.asarray(tracks[0], float),
                     label=sid, gait=spec.gait_of[cond], cam=cam,
-                    video_id=video_id)
+                    video_id=video_id,
+                    frame_ids=(np.asarray(frame_ids[0], int)
+                               if args.modality == "of" else None))
 
 
 def main(argv=None):

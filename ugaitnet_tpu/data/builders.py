@@ -96,7 +96,7 @@ class TrackedVideo:
     label: int
     gait: int
     cam: int = 0
-    video_id: int = 0
+    video_id: Optional[int] = None   # None -> assigned by build_dataset
     frame_ids: Optional[np.ndarray] = None
 
 
@@ -110,7 +110,20 @@ def extract_windows(video: TrackedVideo, modality: str,
     frame's bb centroid x to column 30, crop to 60 wide.
     """
     frames = video.frames
-    t_total = len(frames)
+    # the window loop runs over the TRACK, not the raw frame array: the
+    # reference iterates range(0, len(full_tracks), step) and selects
+    # content frames by their recorded ids, of[full_frames[i:i+n]]
+    # (generateOFData.py:106-109, generateRGBData.py:135-139).  Windowing
+    # over len(frames) would pair pre-track content with track boxes (and
+    # overrun the box array) whenever the track starts mid-video.
+    frame_ids = (np.asarray(video.frame_ids, int)
+                 if video.frame_ids is not None
+                 else np.arange(len(video.boxes)))
+    t_total = min(len(video.boxes), len(frame_ids))
+    if len(frame_ids) and frame_ids.max() >= len(frames):
+        raise ValueError(
+            f"frame_ids reference frame {frame_ids.max()} but only "
+            f"{len(frames)} frames were given")
     if src_wh is None:
         src_h, src_w = frames.shape[1:3]
     else:
@@ -123,7 +136,7 @@ def extract_windows(video: TrackedVideo, modality: str,
     for i in range(0, t_total, step):
         if (i + 1 + n_frames) >= t_total:
             break
-        window = frames[i:i + n_frames]
+        window = frames[frame_ids[i:i + n_frames]]
         boxes = video.boxes[i + 1:i + 1 + n_frames]  # OF offset-by-1 parity
         mid = boxes[round(n_frames / 2)]
         # the reference rounds each scaled coordinate to int BEFORE the

@@ -117,6 +117,14 @@ def combine_datasets(primary: GaitDataset, secondary: GaitDataset,
     if primary.ntype != secondary.ntype:
         raise ValueError(f"ntype differs: primary {primary.ntype}, "
                          f"secondary {secondary.ntype}")
+    extra = set(secondary.modality_names) - set(primary.modality_names)
+    if extra:
+        # silently dropping a secondary-only store would surface much
+        # later as a KeyError (or a quietly single-modality run)
+        raise ValueError(
+            f"secondary dataset has modalities {sorted(extra)} absent "
+            "from the primary; the joint store keeps the primary's set — "
+            "rebuild the inputs with matching modalities")
     mods = {}
     for m in primary.modality_names:
         if m not in secondary.modality_names:

@@ -59,20 +59,33 @@ def compute_normalization_stats(ds: GaitDataset, modality: str,
     per-dataset normalization h5s, mj_dataGeneratorMMUWYHBothDatasets.py:89-99).
     Returns (mean (T*C,), std (T*C,))."""
     store = ds.modalities[modality]
-    vols = np.asarray(store.volumes if source is None
-                      else store.volumes[source])
-    x = vols.astype(np.float64)
-    if store.compress_factor > 1:
-        x = x / store.compress_factor
-        if ds.ntype == 2:
-            x = x * 0.1
-    else:
-        x = x / 255.0
-        if modality != "silhouette":
-            x = x - 0.5
-    mean = x.mean(axis=(0, 2, 3))
-    std = x.std(axis=(0, 2, 3))
-    return mean.astype(np.float32), np.maximum(std, 1e-6).astype(np.float32)
+    idx = (np.arange(len(ds)) if source is None
+           else np.where(np.asarray(source))[0])
+    # stream in chunks: the store is memory-mapped and a real train split
+    # is tens of GB — materializing it as one float64 copy (4-8x on-disk
+    # size) would OOM the host before training starts
+    chunk = 512
+    n_planes = store.volumes.shape[1]
+    tot = np.zeros(n_planes, np.float64)
+    tot2 = np.zeros(n_planes, np.float64)
+    count = 0
+    for s in range(0, len(idx), chunk):
+        x = np.asarray(store.volumes[idx[s:s + chunk]], np.float64)
+        if store.compress_factor > 1:
+            x = x / store.compress_factor
+            if ds.ntype == 2:
+                x = x * 0.1
+        else:
+            x = x / 255.0
+            if modality != "silhouette":
+                x = x - 0.5
+        tot += x.sum(axis=(0, 2, 3))
+        tot2 += np.square(x).sum(axis=(0, 2, 3))
+        count += x.shape[0] * x.shape[2] * x.shape[3]
+    mean = tot / max(count, 1)
+    var = np.maximum(tot2 / max(count, 1) - np.square(mean), 0.0)
+    return (mean.astype(np.float32),
+            np.maximum(np.sqrt(var), 1e-6).astype(np.float32))
 
 
 def _dropout_masks(key: jax.Array, batch: int, nmods: int, expand: int
@@ -318,9 +331,19 @@ class GaitPipeline:
         raw = gather_host_batch(self.ds, self.indices[batch_idx],
                                 self.modalities, self.labmap)
         if self.norm_stats is not None:
+            src_max = int(np.max(raw["source"], initial=0))
             for m in self.modalities:
                 mean, std = self.norm_stats[m]
-                raw[f"norm_mean_{m}"] = np.atleast_2d(mean).astype(np.float32)
+                mean2 = np.atleast_2d(mean).astype(np.float32)
+                if src_max >= mean2.shape[0]:
+                    # the device gather would CLAMP an out-of-range source
+                    # row, silently standardizing one dataset with the
+                    # other's statistics
+                    raise ValueError(
+                        f"norm_stats[{m!r}] has {mean2.shape[0]} source "
+                        f"row(s) but the batch contains dataset_source="
+                        f"{src_max}; pass one (mean, std) row per dataset")
+                raw[f"norm_mean_{m}"] = mean2
                 raw[f"norm_std_{m}"] = np.atleast_2d(std).astype(np.float32)
         raw_dev = {k: jnp.asarray(v) for k, v in raw.items()}
         e = self.cfg.expand_level if expand is None else expand

@@ -52,7 +52,11 @@ def _maxpool_i8(x: jax.Array) -> jax.Array:
 
 
 def _lrelu(v: jax.Array, alpha: float) -> jax.Array:
-    return jnp.where(v >= 0, v, alpha * v)
+    # max form, not select form: exact for 0 <= alpha < 1, and the select
+    # makes XLA materialize a packed sign-bitmask of the whole volume to
+    # feed the next fusion (~3.6 ms/exec measured on the fp32 path —
+    # benchmarks/BUDGET.md, models/gaitset.py)
+    return jnp.maximum(v, alpha * v)
 
 
 def calibrate_branch(branch_params: Dict[str, Any], x: jax.Array,

@@ -74,7 +74,9 @@ def _xla_triplet(tcfg):
     mesh is unverifiable from this single-chip environment.  The XLA form
     partitions cleanly and is what every mesh test validates."""
     import dataclasses
-    if tcfg.triplet_kind == "batch_all":
+    if tcfg.triplet_kind in ("batch_all", "batch_all_pallas"):
+        # an explicit "batch_all_pallas" must be rewritten too — it is the
+        # same Mosaic custom call, just forced rather than dispatched
         return dataclasses.replace(tcfg, triplet_kind="batch_all_xla")
     return tcfg
 
