@@ -77,6 +77,16 @@ def test_verification_eer_random_codes_near_half():
     assert 0.2 < out["eer"] < 0.8
 
 
+def test_verification_eer_undefined_is_nan():
+    """No positive pairs (every subject appears once) -> EER undefined:
+    nan, not a fabricated worst-case 1.0."""
+    rng = np.random.RandomState(0)
+    codes = rng.randn(5, 8)
+    out = verification_eer(codes, np.arange(5))
+    assert np.isnan(out["eer"]) and np.isnan(out["eer_threshold"])
+    assert out["chance"] == 0.0
+
+
 @pytest.fixture(scope="module")
 def trained():
     """Train a tiny 2-mod model on separable synthetic data."""

@@ -86,6 +86,69 @@ def test_import_compress_factor_guard(tmp_path):
         import_reference_dir(d, "of")
 
 
+def test_migration_import_merge_train_evaluate(tmp_path):
+    """The MIGRATION.md §1+§3 chain end to end through the CLIs: two
+    reference-layout per-sample h5 trees (of int16 cf=100, gray uint8
+    cf=1) -> `build_data --import-ref` per modality -> `--merge` into one
+    multimodal store -> `cli.train` one epoch -> `cli.evaluate` openset
+    self-retrieval.  This is exactly what a reference user runs on day one
+    with real CASIA-B/TUM data."""
+    from ugaitnet_tpu.cli.build_data import main as build_main
+
+    rng = np.random.RandomState(7)
+    trees = {"of": str(tmp_path / "ref_of"),
+             "gray": str(tmp_path / "ref_gray")}
+    for d in trees.values():
+        os.makedirs(d)
+    # 4 subjects x 2 videos x 2 windows, sample-aligned across modalities
+    vid = 0
+    for s in range(4):
+        for v in range(2):
+            vid += 1
+            for w in range(2):
+                stem = f"{400 + s:03d}-nm-{vid:02d}-{w:02d}.h5"
+                _write_ref_sample(
+                    os.path.join(trees["of"], stem),
+                    rng.randint(-3000, 3000, (60, 60, 50)).astype(np.int16),
+                    400 + s, vid, 0, 90, cf=100)
+                _write_ref_sample(
+                    os.path.join(trees["gray"], stem),
+                    rng.randint(0, 255, (60, 60, 25)).astype(np.uint8),
+                    400 + s, vid, 0, 90, cf=1)
+
+    packed = {m: str(tmp_path / f"packed_{m}") for m in trees}
+    for m, d in trees.items():
+        build_main(["--import-ref", d, "--modality", m,
+                    "--outdir", packed[m]])
+    joint = str(tmp_path / "joint")
+    build_main(["--merge", packed["of"], packed["gray"],
+                "--outdir", joint])
+
+    from ugaitnet_tpu.cli.train import main as train_main
+    exper = str(tmp_path / "exp")
+    train_main(["--datadir", joint, "--nclasses", "4",
+                "--mod0", "of", "--mod1", "gray", "--mergefun", "sign_max",
+                "--bs", "8", "--epochs", "1", "--savemodelfreq", "1",
+                "--repetitions", "2", "--expandlevel", "2",
+                "--gschannels", "4,4,8", "--gspartdim", "8",
+                "--experdir", exper, "--experfix", "mig"])
+    runs = os.listdir(exper)
+    assert len(runs) == 1
+    experdir = os.path.join(exper, runs[0])
+
+    from ugaitnet_tpu.cli.evaluate import main as eval_main
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        eval_main(["--experdir", experdir, "--gallery", joint,
+                   "--probes", joint, "--protocol", "openset",
+                   "--knn", "1", "--bs", "8"])
+    out = buf.getvalue()
+    line = [l for l in out.splitlines() if "rank1_subseq" in l][-1]
+    assert "1.0" in line   # self-retrieval: probe == gallery
+
+
 def test_import_then_pipeline_then_encode(tmp_path):
     """The full day-one path: reference files -> import -> GaitPipeline
     preprocess -> model encode."""

@@ -43,7 +43,14 @@ def verification_eer(codes: np.ndarray, labels: np.ndarray,
                      ) -> Dict[str, float]:
     gt, dists = pair_distances(codes, labels, negs_per_label, seed)
     if len(np.unique(gt)) < 2:
-        return {"eer": 1.0, "eer_threshold": 0.0, "chance": 0.0}
+        # one-sided pair set (e.g. a val split with no repeated subject, so
+        # no positive pairs): the EER is UNDEFINED — report nan like
+        # roc_curve_scores does for single-class input rather than a
+        # fabricated worst-case 1.0.  chance (fraction of positive pairs)
+        # is still real data.
+        chance = float(np.sum(gt > 0) / len(gt)) if len(gt) else 0.0
+        return {"eer": float("nan"), "eer_threshold": float("nan"),
+                "chance": chance}
     eer, thr = eer_verif_dist(gt, dists)
     chance = float(np.sum(gt > 0) / len(gt))
     return {"eer": eer, "eer_threshold": thr, "chance": chance}
