@@ -200,3 +200,21 @@ def test_preprocess_helpers_match_pipeline():
                                rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(np.asarray(vols[1]), np.asarray(want_gray),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_mirror_even_plane_quirk_matches_interleaved_stack():
+    """negate_even_frames=True must negate exactly the even indices of the
+    reference's interleaved (H, W, T*C) plane stack (mj_augmentation.py:
+    29-30) for every channel count — C=3 alternates with (t+c) parity."""
+    from ugaitnet_tpu.ops.augment import mirror_volume
+    rng = np.random.RandomState(0)
+    for c in (1, 2, 3):
+        x = rng.randn(4, 6, 6, c).astype(np.float32)
+        got = np.asarray(mirror_volume(x, is_of=False,
+                                       negate_even_frames=True))
+        # literal reference behavior on the interleaved stack
+        stack = np.moveaxis(np.flip(x, axis=2), 0, 2)     # (H, W, T, C)
+        stack = stack.reshape(6, 6, 4 * c)                # (H, W, T*C)
+        stack[:, :, ::2] *= -1.0
+        want = np.moveaxis(stack.reshape(6, 6, 4, c), 2, 0)
+        np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -56,3 +56,30 @@ def test_native_gather_bounds_checked():
             gather_rows(src, np.asarray(bad, np.int64))
     np.testing.assert_array_equal(
         gather_rows(src, np.asarray([4, 0], np.int64)), src[[4, 0]])
+
+
+def test_gather_rejects_negative_idx_on_both_paths(monkeypatch):
+    """Negative indices would silently WRAP in np.take but OOB-error in the
+    native memcpy — both paths must refuse them identically so a run's
+    results never depend on whether the host built the native lib."""
+    import ugaitnet_tpu.data.native as native
+    src = np.arange(20, dtype=np.float32).reshape(5, 4)
+    with pytest.raises(IndexError, match="negative"):
+        gather_rows(src, np.asarray([-1], np.int64))
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", True)
+    with pytest.raises(IndexError, match="negative"):
+        native.gather_rows(src, np.asarray([-1], np.int64))
+
+
+def test_gather_validates_out_buffer():
+    """A caller-supplied out of the wrong shape/dtype must raise — the
+    native path memcpys into it blindly (heap overrun, not an error)."""
+    src = np.arange(20, dtype=np.int16).reshape(5, 4)
+    idx = np.asarray([0, 1, 2], np.int64)
+    with pytest.raises(ValueError, match="out has"):
+        gather_rows(src, idx, out=np.empty((2, 4), np.int16))
+    with pytest.raises(ValueError, match="out has"):
+        gather_rows(src, idx, out=np.empty((3, 4), np.int8))
+    ok = np.empty((3, 4), np.int16)
+    np.testing.assert_array_equal(gather_rows(src, idx, out=ok), src[idx])

@@ -93,6 +93,17 @@ def merge_matching(target: Any, source: Any) -> Any:
         return {k: (merge_matching(v, source.get(k))
                     if isinstance(source, dict) else v)
                 for k, v in target.items()}
+    if (isinstance(target, (list, tuple)) and isinstance(source, (list, tuple))
+            and any(isinstance(t, (dict, list, tuple)) for t in target)):
+        # structured container subtrees (e.g. a restored opt_state that came
+        # back as a list of dicts) must recurse element-wise — np.asarray on
+        # a ragged container would silently keep the whole target subtree.
+        # Flat numeric lists fall through to the array path below.
+        if len(target) == len(source):
+            merged = [merge_matching(t, s) for t, s in zip(target, source)]
+            return type(target)(merged) if isinstance(target, tuple) \
+                else merged
+        return target
     if source is None:
         return target
     try:

@@ -11,12 +11,17 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import List, Optional, Sequence
 
 import numpy as np
 
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
+# PrefetchLoader's producer thread and the main thread can race the first
+# call: without the lock both would run `make -B` concurrently and dlopen
+# a .so that the other build is rewriting
+_LIB_LOCK = threading.Lock()
 
 _NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -49,6 +54,14 @@ def _needs_rebuild() -> bool:
 def get_lib() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _LIB is not None or _TRIED:
+        return _LIB
+    with _LIB_LOCK:
+        return _get_lib_locked()
+
+
+def _get_lib_locked() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:   # the thread we waited on resolved it
         return _LIB
     _TRIED = True
     if os.environ.get("UGAITNET_NO_NATIVE"):
@@ -95,12 +108,25 @@ def gather_rows(src: np.ndarray, idx: np.ndarray,
     idx = np.ascontiguousarray(np.asarray(idx, dtype=np.int64))
     n = len(idx)
     row_shape = src.shape[1:]
+    if n and idx.min() < 0:
+        # negative indices would wrap in np.take but OOB-check in the
+        # native path — refuse them in BOTH so results never depend on
+        # which path a host happens to use
+        raise IndexError(f"negative gather index {idx.min()}")
     if out is None:
         out = np.empty((n, *row_shape), dtype=src.dtype)
+    elif out.shape != (n, *row_shape) or out.dtype != src.dtype:
+        # the native path memcpys n*row_bytes blindly into out's buffer —
+        # a too-small/mistyped out would be a heap overrun, not an error
+        raise ValueError(
+            f"out has shape {out.shape} dtype {out.dtype}; need "
+            f"{(n, *row_shape)} {src.dtype}")
     lib = get_lib()
     row_bytes = int(np.prod(row_shape)) * src.dtype.itemsize
-    # memmaps expose their buffer; plain arrays must be C-contiguous
-    c_ok = getattr(src, "flags", None) is not None and src.flags["C_CONTIGUOUS"]
+    # memmaps expose their buffer; plain arrays must be C-contiguous —
+    # and so must a caller-supplied out (the memcpy assumes dense rows)
+    c_ok = (getattr(src, "flags", None) is not None
+            and src.flags["C_CONTIGUOUS"] and out.flags["C_CONTIGUOUS"])
     if lib is None or not c_ok:
         np.take(src, idx, axis=0, out=out)
         return out

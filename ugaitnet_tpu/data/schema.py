@@ -51,8 +51,15 @@ class ModalityStore:
     def mean_volume(self) -> np.ndarray:
         """Mean raw volume over the store (the builders' accumulated
         `meanSample`, /root/reference/data/generateOFData.py:84,144,190+),
-        in raw quantized units."""
-        return np.asarray(self.volumes, dtype=np.float64).mean(axis=0)
+        in raw quantized units.  Streams the mmap'd store in chunks — a
+        real split is tens of GB and a single float64 copy would OOM the
+        host (same rationale as pipeline.compute_normalization_stats)."""
+        n = self.volumes.shape[0]
+        tot = np.zeros(self.volumes.shape[1:], np.float64)
+        for s in range(0, n, 512):
+            tot += np.asarray(self.volumes[s:s + 512], np.float64
+                              ).sum(axis=0)
+        return tot / max(n, 1)
 
 
 @dataclass

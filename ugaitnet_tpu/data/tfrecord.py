@@ -63,7 +63,15 @@ def iter_tfrecords(path: str, crc: str = "header") -> Iterator[bytes]:
             if crc != "none" and _masked_crc(header[:8]) != hcrc:
                 raise ValueError(f"corrupt length crc in {path}")
             payload = f.read(length)
-            data_crc = struct.unpack("<I", f.read(4))[0]
+            trailer = f.read(4)
+            if len(payload) < length or len(trailer) < 4:
+                # short read = file truncated mid-record (partial copy,
+                # interrupted write) — even crc="none" must name the file
+                # rather than die in struct.unpack
+                raise ValueError(
+                    f"truncated TFRecord {path}: record of {length} bytes "
+                    f"cut short at EOF")
+            data_crc = struct.unpack("<I", trailer)[0]
             if crc == "full" and _masked_crc(payload) != data_crc:
                 raise ValueError(f"corrupt data crc in {path}")
             yield payload
@@ -159,10 +167,10 @@ def load_gait_tfrecord(path: str, all_info: bool = False):
     """mj_loadSingleGaitOFTFrecord parity: returns (data, label, videoId) or
     the full parsed dict with all_info=True. data: float32 (N, 50, 60, 60)
     = int16 raw / 100."""
-    payloads = list(iter_tfrecords(path))
-    if not payloads:
+    first = next(iter_tfrecords(path), None)   # files hold ONE example;
+    if first is None:                          # don't buffer any extras
         raise ValueError(f"empty TFRecord {path}")
-    ex = parse_example(payloads[0])
+    ex = parse_example(first)
     raw = np.frombuffer(ex["data"], np.int16)
     data = raw.astype(np.float32).reshape(-1, 50, 60, 60) / 100.0
     if all_info:

@@ -37,10 +37,11 @@ import jax.numpy as jnp
 class TransformParams(NamedTuple):
     """Per-sample affine/photometric parameters (static-shape, batchable)."""
     apply: jax.Array        # bool/float — whether the affine applies (3/4 prob)
-    tx: jax.Array           # vertical shift in pixels (Keras tx = height axis)
-    ty: jax.Array           # horizontal shift in pixels
-    zx: jax.Array           # vertical zoom factor
-    zy: jax.Array           # horizontal zoom factor
+    tx: jax.Array           # horizontal shift in pixels (width axis — the
+                            # tf_keras-pinned convention, affine_volume)
+    ty: jax.Array           # vertical shift in pixels (height axis)
+    zx: jax.Array           # horizontal zoom factor
+    zy: jax.Array           # vertical zoom factor
     flip: jax.Array         # bool — horizontal mirror (1/2 prob given apply)
     brightness: jax.Array   # multiplicative factor (non-OF; 1.0 = off)
     channel_shift: jax.Array  # additive intensity (non-OF; 0.0 = off)
@@ -96,12 +97,14 @@ def mirror_volume(x: jax.Array, is_of: bool,
     """
     out = jnp.flip(x, axis=2)
     if negate_even_frames:
-        t = out.shape[0]
-        even = (jnp.arange(t) % 2 == 0).reshape(t, 1, 1, 1)
-        if x.shape[-1] == 2:  # interleaved planes == channel axis here
-            sign = jnp.where(jnp.arange(x.shape[-1]) == 0, -1.0, 1.0)
-            return out * sign.reshape(1, 1, 1, -1)
-        return jnp.where(even, -out, out)
+        # the reference's plane stack interleaves (H, W, T*C) with plane
+        # index t*C + c — negate exactly the even plane indices for ANY C
+        # (for C=2 that is channel 0 of every frame; for C=1 even frames;
+        # for C=3 it alternates with (t + c) parity)
+        t, c = out.shape[0], out.shape[-1]
+        plane = (jnp.arange(t).reshape(t, 1, 1, 1) * c
+                 + jnp.arange(c).reshape(1, 1, 1, c))
+        return jnp.where(plane % 2 == 0, -out, out)
     if is_of:
         sign = jnp.where(jnp.arange(x.shape[-1]) == 0, -1.0, 1.0).astype(x.dtype)
         out = out * sign.reshape(1, 1, 1, -1)

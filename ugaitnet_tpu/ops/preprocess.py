@@ -36,10 +36,12 @@ def dequantize(raw: jax.Array, compress_factor: float, ntype: int = 2,
                clip_max: float = 0.0, clip_min: float = 0.0) -> jax.Array:
     """Quantized (e.g. int16 OF) planes -> float32, with optional clip-augment."""
     x = raw.astype(jnp.float32)
+    # clip_max <= 0 disables the WHOLE clip augment including the min-side
+    # wipe — the reference gates both on `if clip_max > 0:`
+    # (...single.py:316-321), and pipeline.preprocess_batch does the same
     if clip_max > 0:
-        x = jnp.where(jnp.abs(x) > clip_max, 1e-8, x)
-    if clip_min > 0:
-        x = jnp.where(jnp.abs(x) < clip_min, 1e-8, x)
+        x = jnp.where((jnp.abs(x) > clip_max)
+                      | (jnp.abs(x) < clip_min), 1e-8, x)
     x = x / compress_factor
     if ntype == 2:
         x = x * 0.1
