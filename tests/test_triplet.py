@@ -142,3 +142,38 @@ def test_contrastive_aux_strips_label_code():
                                       jnp.asarray(labels // 100 * 100)))
     np.testing.assert_allclose(got, same, rtol=1e-6)
     assert got > 0
+
+
+def test_semi_hard_degenerate_all_same_label_finite():
+    """All-same-label batch: tfa's _masked_maximum falls back to the row
+    min (0), giving mean(max(margin + d_ap, 0)) — NOT ~1e30 from a -inf
+    sentinel (one such tail batch would poison the epoch-mean loss)."""
+    rng = np.random.RandomState(6)
+    emb = rng.randn(6, 4).astype(np.float32)
+    labels = np.zeros(6, np.int32)
+    got = float(semi_hard_triplet_loss(jnp.asarray(emb),
+                                       jnp.asarray(labels), margin=1.0))
+    d = np_pairwise(emb)
+    want = np.mean([max(1.0 + d[a, p], 0.0)
+                    for a in range(6) for p in range(6) if a != p])
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_hard_degenerate_singleton_class_matches_tfa():
+    """An anchor with no positive degrades to hard_pos = row min (0), so
+    it still contributes max(margin - nearest_neg, 0) like tfa — the old
+    -inf sentinel silently zeroed it."""
+    rng = np.random.RandomState(7)
+    emb = (0.05 * rng.randn(5, 4)).astype(np.float32)  # all dists < margin
+    labels = np.array([0, 0, 1, 1, 2], np.int32)       # label 2: singleton
+    got = float(hard_triplet_loss(jnp.asarray(emb), jnp.asarray(labels),
+                                  margin=1.0))
+    d = np_pairwise(emb)
+    adj = labels[:, None] == labels[None, :]
+    per_anchor = []
+    for a in range(5):
+        pos_mask = adj[a] & (np.arange(5) != a)
+        pos = d[a][pos_mask].max() if pos_mask.any() else d[a].min()
+        neg = d[a][~adj[a]].min()
+        per_anchor.append(max(pos - neg + 1.0, 0.0))
+    np.testing.assert_allclose(got, np.mean(per_anchor), rtol=1e-5)

@@ -119,13 +119,20 @@ class ModelConfig:
 
     @property
     def signature_parts(self) -> int:
+        """Leading signature axis after batch: 1 when the gaitset branch
+        flattens its parts (flatten_output) or for dense branches."""
         b0 = self.branches[0]
-        return b0.num_parts if b0.kind == "gaitset" else 1
+        if b0.kind == "gaitset" and not b0.flatten_output:
+            return b0.num_parts
+        return 1
 
     @property
     def signature_dim(self) -> int:
         b0 = self.branches[0]
-        return b0.part_dim if b0.kind == "gaitset" else b0.ndense_units
+        if b0.kind == "gaitset":
+            return (b0.num_parts * b0.part_dim if b0.flatten_output
+                    else b0.part_dim)
+        return b0.ndense_units
 
 
 @dataclass(frozen=True)

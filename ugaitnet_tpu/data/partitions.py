@@ -79,10 +79,16 @@ def get_partition(dataset: str, split: str,
             conds = tuple(f"nm-{i:02d}" for i in range(1, 5))
         elif split.startswith("test"):  # probes: nm-05..06 / bg / cl
             ids = tuple(range(75, 125))
-            cond_map = {"test_nm": ("nm-05", "nm-06"),
+            cond_map = {"test": ("nm-05", "nm-06"),   # bare = nm probes
+                        "test_nm": ("nm-05", "nm-06"),
                         "test_bg": ("bg-01", "bg-02"),
                         "test_cl": ("cl-01", "cl-02")}
-            conds = cond_map.get(split, ("nm-05", "nm-06"))
+            if split not in cond_map:
+                # a typo like "test-cl" must not silently run the nm
+                # probes and label the number as a cl result
+                raise ValueError(f"unknown casiab split {split}; "
+                                 f"expected one of {sorted(cond_map)}")
+            conds = cond_map[split]
         else:
             raise ValueError(f"unknown casiab split {split}")
         return PartitionSpec("casiab", split, ids, conds, CASIAB_CAMERAS,

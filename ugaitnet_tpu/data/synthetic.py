@@ -50,6 +50,10 @@ def make_synthetic_dataset(num_subjects: int = 8,
 
     i = 0
     for s in range(num_subjects):
+        # (modality, subject)-only: hoisted out of the video/subseq loops
+        # (the upsample was redundantly recomputed per subsequence)
+        bases = {m: np.repeat(np.repeat(templates[m][s], 15, 0), 15, 1)
+                 for m in modalities}
         for v in range(videos_per_subject):
             vid = s * videos_per_subject + v
             gait = gait_types[v % len(gait_types)]
@@ -70,7 +74,7 @@ def make_synthetic_dataset(num_subjects: int = 8,
                 for m in modalities:
                     c = MODALITY_CHANNELS[m]
                     # subject template upsampled + noise, laid out as planes
-                    base = np.repeat(np.repeat(templates[m][s], 15, 0), 15, 1)
+                    base = bases[m]
                     frames = (base[None] * 0.2
                               + 0.05 * rng.randn(NUM_FRAMES, FRAME_H,
                                                  FRAME_W, c))

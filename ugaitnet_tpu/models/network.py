@@ -26,8 +26,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ugaitnet_tpu.core.config import BranchConfig, ModelConfig
-from ugaitnet_tpu.models.branches import Conv2DBranch, Conv3DBranch, glorot
+from ugaitnet_tpu.core.config import (
+    FRAME_H, FRAME_W, NUM_FRAMES, BranchConfig, ModelConfig)
+from ugaitnet_tpu.models.branches import (
+    Conv2DBranch, Conv3DBranch, _act, glorot)
 from ugaitnet_tpu.models.gaitset import GaitSetBranch
 from ugaitnet_tpu.ops import fusion as F
 from ugaitnet_tpu.ops.preprocess import frames_to_planes
@@ -104,9 +106,8 @@ class UGaitNet(nn.Module):
         out: Dict[str, jax.Array] = {"branches": gated}
         head_in = sig
         if cfg.extra_dense:
-            act = (nn.relu if cfg.branches[0].activation == "relu"
-                   else (lambda v: nn.leaky_relu(
-                       v, negative_slope=cfg.branches[0].leaky_alpha)))
+            act = _act(cfg.branches[0].activation,
+                       cfg.branches[0].leaky_alpha)
             if cfg.postriplet == 2:
                 # Dense BEFORE the triplet tap; L2-normed output is "code".
                 x = act(nn.Dense(cfg.extra_dense[0], kernel_init=glorot,
@@ -155,8 +156,9 @@ def init_params(model: UGaitNet, rng: jax.Array, batch: int = 2):
     cfg = model.config
     volumes = []
     for b in cfg.branches:
-        volumes.append(jnp.zeros((batch, 25, 60, 60, b.in_channels),
-                                 jnp.float32))
+        volumes.append(jnp.zeros(
+            (batch, NUM_FRAMES, FRAME_H, FRAME_W, b.in_channels),
+            jnp.float32))
     flags = [jnp.ones((batch,), jnp.float32) for _ in cfg.branches]
     params_rng, drop_rng = jax.random.split(rng)
     return model.init({"params": params_rng, "dropout": drop_rng},

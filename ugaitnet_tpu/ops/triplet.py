@@ -114,8 +114,15 @@ def semi_hard_triplet_loss(embeddings: jax.Array, labels: jax.Array,
         # min over qualifying negatives; +inf where none
         neg_outside = jnp.min(jnp.where(mask, pdist[:, None, :], big), axis=2)
         has_outside = jnp.any(mask, axis=2)
-        # farthest negative per anchor as fallback
-        neg_inside = jnp.max(jnp.where(adjacency_not, pdist, -big), axis=1)
+        # farthest negative per anchor as fallback — tfa's _masked_maximum
+        # form: row-min + max((d - row_min) * mask).  On a batch with NO
+        # negative for an anchor it degrades to the row min (0), keeping
+        # the loss finite where a -inf sentinel would blow it up to ~1e30
+        # and poison the epoch mean / plateau monitor.
+        amin = jnp.min(pdist, axis=1)
+        neg_inside = (jnp.max((pdist - amin[:, None])
+                              * adjacency_not.astype(pdist.dtype), axis=1)
+                      + amin)
         semi_hard = jnp.where(has_outside, neg_outside, neg_inside[:, None])
         loss_mat = margin + pdist - semi_hard
         mask_pos = adjacency & ~jnp.eye(b, dtype=bool)
@@ -134,13 +141,22 @@ def hard_triplet_loss(embeddings: jax.Array, labels: jax.Array,
     b = labels.shape[0]
     adjacency = labels[:, None] == labels[None, :]
     adjacency_not = jnp.logical_not(adjacency)
-    big = jnp.float32(1e30)
 
     def per_part(e):
         pdist = pairwise_dist(e)
         mask_pos = adjacency & ~jnp.eye(b, dtype=bool)
-        hard_pos = jnp.max(jnp.where(mask_pos, pdist, -big), axis=1)
-        hard_neg = jnp.min(jnp.where(adjacency_not, pdist, big), axis=1)
+        # tfa's _masked_maximum/_masked_minimum forms, NOT +/-inf
+        # sentinels: an anchor with no positive degrades to the row min
+        # (0) and one with no negative to the row max, exactly like
+        # tfa.losses.triplet_hard_loss on the same degenerate batch —
+        # sentinels would silently zero those anchors' contributions.
+        amin = jnp.min(pdist, axis=1, keepdims=True)
+        hard_pos = (jnp.max((pdist - amin) * mask_pos.astype(pdist.dtype),
+                            axis=1) + amin[:, 0])
+        amax = jnp.max(pdist, axis=1, keepdims=True)
+        hard_neg = (jnp.min((pdist - amax)
+                            * adjacency_not.astype(pdist.dtype), axis=1)
+                    + amax[:, 0])
         if soft:
             return jnp.mean(jnp.log1p(jnp.exp(hard_pos - hard_neg)))
         return jnp.mean(jnp.maximum(hard_pos - hard_neg + margin, 0.0))
@@ -178,8 +194,6 @@ def make_triplet_loss(kind: str = "batch_all", margin: float = 0.2):
         # (~2.1 vs ~2.3 ms at the flagship (62, 120, 256), v5e) so it is
         # the training default there; elsewhere (CPU tests, GPU) the XLA
         # formulation wins (the kernel would run interpreted).
-        import jax
-
         if jax.default_backend() == "tpu":
             from ugaitnet_tpu.ops.pallas.triplet_kernel import (
                 batch_all_triplet_loss_pallas)

@@ -68,8 +68,15 @@ class ReduceLROnPlateauOrSlowdown(ReduceLROnPlateau):
     def _improved(self, current: float) -> bool:
         if self.mode == "min":
             # reference: less(best - current, best * min_delta) is the
-            # *plateau* test; improvement is its complement
-            return (self.best - current) >= abs(self.best) * self.min_delta
+            # *plateau* test; improvement is its complement.  No abs():
+            # for a negative-valued metric the reference's threshold goes
+            # negative too (almost any non-worsening epoch counts) — quirk
+            # reproduced, not "fixed"
+            return (self.best - current) >= self.best * self.min_delta
+        # deliberate deviation: the reference's max branch tests
+        # greater(best + current, best * min_delta) (lr_scheduler.py:87),
+        # which is always-true for positive metrics — dead code with a
+        # broken formula; we use the symmetric relative-improvement test
         return (current - self.best) >= abs(self.best) * self.min_delta
 
 
