@@ -61,13 +61,20 @@ def main():
 
     float(embed(params, raw))  # compile + warmup
 
-    iters = 50
-    t0 = time.perf_counter()
-    last = None
-    for _ in range(iters):
-        last = embed(params, raw)
-    float(last)  # device stream is in-order: last done => all done
-    dt = time.perf_counter() - t0
+    # median of 5 chunks x 10 iters: the remote-tunnel backend has
+    # transient 3x-slow windows (CLAUDE.md round-3 notes); a single
+    # 50-iter window would record the stall as the round's number
+    chunk_iters, chunks = 10, 5
+    chunk_dts = []
+    for _ in range(chunks):
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(chunk_iters):
+            last = embed(params, raw)
+        float(last)  # in-order device stream: last done => chunk done
+        chunk_dts.append(time.perf_counter() - t0)
+    dt = float(np.median(chunk_dts))
+    iters = chunk_iters
     clips_per_sec = B * iters / dt
 
     # roofline: model FLOPs per clip / chip peak
@@ -94,6 +101,7 @@ def main():
         "vs_baseline": round(vs_baseline, 4),
         "detail": {
             "batch": B, "iters": iters, "seconds": round(dt, 4),
+            "chunk_seconds": [round(c, 4) for c in chunk_dts],
             "model_flops_per_clip": flops_batch / B if flops_batch else None,
             "roofline_clips_per_sec": round(roofline_clips, 2),
             "device": str(jax.devices()[0]),

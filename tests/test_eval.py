@@ -253,3 +253,63 @@ def test_encode_tail_batch_padding_is_exact(trained):
                                    ("of", "gray"), batch_size=tail,
                                    indices=tail_idx)
     np.testing.assert_allclose(codes[nn_ - tail:], want, rtol=0, atol=0)
+
+
+def test_verification_eer_tiny_split_uses_available_negatives():
+    """2 classes x 2 samples: the complement (2) is smaller than the
+    default negs_per_label (3); the old >= gate built ZERO negative
+    pairs and reported nan for a perfectly defined EER."""
+    codes = np.array([[0.0, 0], [0.1, 0], [5.0, 5], [5.1, 5]], np.float32)
+    out = verification_eer(codes, np.array([0, 0, 1, 1]))
+    assert np.isfinite(out["eer"])
+    assert out["eer"] == 0.0          # separable clusters
+    assert 0.0 < out["chance"] < 1.0  # both pair kinds present
+
+
+def test_merge_codes_per_video_matches_reference_loop():
+    """Vectorized reduceat merge == the per-video mask loop, mean and
+    max pooling, including majority-vote labels."""
+    from ugaitnet_tpu.eval.protocol import _merge_codes_per_video
+    rng = np.random.RandomState(0)
+    n = 57
+    es = EncodedSet(codes=rng.randn(n, 5).astype(np.float32),
+                    labels=rng.randint(0, 4, n),
+                    video_ids=rng.randint(100, 112, n),
+                    cams=np.zeros(n, np.int32))
+    for use_avg in (True, False):
+        codes, labels = _merge_codes_per_video(es, use_avg)
+        uvids = np.unique(es.video_ids)
+        assert codes.shape == (len(uvids), 5)
+        for i, v in enumerate(uvids):
+            sel = es.video_ids == v
+            c = es.codes[sel]
+            want = c.mean(axis=0) if use_avg else c.max(axis=0)
+            # reduceat sums sequentially, np.mean pairwise: order-of-
+            # summation noise at f32 — tolerance, not exactness
+            np.testing.assert_allclose(codes[i], want, rtol=1e-5,
+                                       atol=1e-6)
+            labs, cnt = np.unique(es.labels[sel], return_counts=True)
+            assert labels[i] == labs[np.argmax(cnt)]
+
+
+def test_all_combos_memo_rekeys_on_config_change(trained):
+    """A gallery memo built under use_avg=True must NOT be served to a
+    use_avg=False call (mean- vs max-pooled merged codes)."""
+    ds, model, state, _ = trained
+    cfg = EvalConfig(knn=1, batch_size=12)
+    memo = {}
+    eval_all_combos(model, state.params, ds, ds, ("of", "gray"), cfg,
+                    use_avg=True, gallery_memo=memo)
+    k1 = memo["key"]
+    merged1 = memo["merged"][0].copy()
+    eval_all_combos(model, state.params, ds, ds, ("of", "gray"), cfg,
+                    use_avg=False, gallery_memo=memo)
+    assert memo["key"] != k1
+    assert not np.allclose(memo["merged"][0], merged1)
+
+
+def test_encode_dataset_empty_selection_raises(trained):
+    ds, model, state, _ = trained
+    with pytest.raises(ValueError, match="no samples"):
+        encode_dataset(model, state.params, ds, ("of", "gray"),
+                       indices=np.array([], np.int64))

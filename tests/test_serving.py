@@ -143,3 +143,53 @@ def test_oversize_query_chunks_through_max_bucket(service):
     l_one, d_one = svc.identify_raw(one)
     assert l_one[0] == labels[16]
     np.testing.assert_allclose(d_one[0], dists[16], rtol=1e-5)
+
+
+def test_norm_stats_serving_matches_eval_encode():
+    """A --normstats model must be served with the same standardization:
+    the service's baked-in stats produce codes identical to the eval
+    path's (GaitPipeline norm_stats), and different from an un-normalized
+    service (the silent-degradation failure this guards against)."""
+    from ugaitnet_tpu.eval.encode import encode_dataset
+    ds = make_synthetic_dataset(num_subjects=3, videos_per_subject=2,
+                                subseqs_per_video=2, seed=11)
+    mcfg = ModelConfig(
+        branches=(BranchConfig(kind="gaitset", modality="of",
+                               gaitset_channels=(4, 4, 8), part_dim=8),
+                  BranchConfig(kind="gaitset", modality="gray",
+                               gaitset_channels=(4, 4, 8), part_dim=8)),
+        merge="sign_max", nclasses=0, l2_mode="feature")
+    model = UGaitNet(mcfg)
+    params = init_params(model, jax.random.PRNGKey(2))
+    rng = np.random.RandomState(5)
+    stats = {}
+    for m in ("of", "gray"):
+        tc = ds.modalities[m].volumes.shape[1]
+        stats[m] = (0.1 * rng.randn(1, tc).astype(np.float32),
+                    (1.0 + 0.5 * rng.rand(1, tc)).astype(np.float32))
+    codes_eval, _, _, _ = encode_dataset(model, params, ds, ("of", "gray"),
+                                         typecode=3, batch_size=8,
+                                         norm_stats=stats)
+    svc = SignatureService(model, params, ("of", "gray"), buckets=(8,),
+                           norm_stats=stats)
+    svc.build_gallery(ds, batch_size=8)
+    np.testing.assert_allclose(np.asarray(svc._gallery_codes), codes_eval,
+                               rtol=2e-5, atol=1e-6)
+    svc0 = SignatureService(model, params, ("of", "gray"), buckets=(8,))
+    svc0.build_gallery(ds, batch_size=8)
+    assert not np.allclose(np.asarray(svc0._gallery_codes), codes_eval,
+                           atol=1e-4)
+
+
+def test_norm_stats_missing_modality_rejected():
+    mcfg = ModelConfig(
+        branches=(BranchConfig(kind="gaitset", modality="of",
+                               gaitset_channels=(4, 4, 8), part_dim=8),
+                  BranchConfig(kind="gaitset", modality="gray",
+                               gaitset_channels=(4, 4, 8), part_dim=8)),
+        merge="sign_max", nclasses=0)
+    model = UGaitNet(mcfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="missing modalities"):
+        SignatureService(model, params, ("of", "gray"),
+                         norm_stats={"of": (np.zeros(2), np.ones(2))})

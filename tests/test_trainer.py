@@ -109,6 +109,19 @@ def test_plateau_slowdown_relative_delta():
     assert p2.update(5.0) == 1.0
 
 
+def test_plateau_slowdown_min_delta_zero_seeds_best():
+    """min_delta=0: the initial best=inf made the relative threshold
+    inf*0 = nan, so best never seeded and the LR decayed every `patience`
+    epochs through monotone improvement."""
+    p = ReduceLROnPlateauOrSlowdown(lr=1.0, factor=0.5, patience=2,
+                                    min_delta=0.0)
+    assert p.update(1.0) == 1.0    # seeds best
+    assert p.best == 1.0
+    assert p.update(0.5) == 1.0    # improvement, no decay
+    assert p.update(0.25) == 1.0
+    assert p.best == 0.25
+
+
 def test_early_stop():
     e = EarlyStopOnAccuracy(0.99)
     assert not e.update(0.5)
@@ -146,3 +159,20 @@ def test_sgd_set_lr_sticks():
     # decay at count=1: 5e-6 / (1 + 1e-5)
     np.testing.assert_allclose(float(u["w"][0]), -5e-6 / (1 + 1e-5),
                                rtol=1e-4)
+
+
+def test_metrics_logger_strict_json_on_nonfinite(tmp_path):
+    """nan/inf metrics (e.g. an undefined val EER) must serialize as
+    null — literal NaN is invalid JSON and breaks jq/strict consumers
+    of the metrics.jsonl stream."""
+    import json as _json
+
+    from ugaitnet_tpu.obsv.logger import MetricsLogger
+    lg = MetricsLogger(str(tmp_path))
+    lg.log(3, {"loss": 1.5, "eer": float("nan"), "peak": float("inf")})
+    lg.close()
+    line = open(tmp_path / "metrics.jsonl").read().strip().splitlines()[-1]
+    assert "NaN" not in line and "Infinity" not in line
+    rec = _json.loads(line)
+    assert rec["loss"] == 1.5
+    assert rec["eer"] is None and rec["peak"] is None

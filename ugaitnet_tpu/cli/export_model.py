@@ -29,6 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="query batch sizes to precompile")
     p.add_argument("--typecode", type=int, default=3)
     p.add_argument("--knn", type=int, default=3)
+    p.add_argument("--ntype", type=int, default=2,
+                   help="OF dequantization scale convention of the data "
+                        "this artifact will serve (dataset ntype)")
     p.add_argument("--warmup", action="store_true",
                    help="load the artifact back and run every bucket "
                         "once, so the platform's compile cache is "
@@ -47,9 +50,24 @@ def main(argv=None):
 
     model, state, mcfg, step = load_experiment(args.experdir, args.epoch)
     modalities = tuple(b.modality for b in mcfg.branches)
+    # models trained with --normstats persist their standardization; bake
+    # it into the artifact or the served net sees inputs on the wrong
+    # scale (same rule as cli/evaluate.py)
+    import os
+
+    import numpy as np
+    norm_stats = None
+    ns_path = os.path.join(args.experdir, "norm_stats.npz")
+    if os.path.exists(ns_path):
+        z = np.load(ns_path)
+        norm_stats = {m: (z[f"mean_{m}"], z[f"std_{m}"])
+                      for m in modalities}
+        print("* baking persisted norm_stats.npz standardization into "
+              "the artifact")
     svc = SignatureService(model, state.params, modalities,
                            typecode=args.typecode, knn=args.knn,
-                           buckets=tuple(args.buckets))
+                           buckets=tuple(args.buckets), ntype=args.ntype,
+                           norm_stats=norm_stats)
     sizes = export_encoder(svc, args.out, buckets=tuple(args.buckets))
     for b, n in sorted(sizes.items()):
         print(f"bucket {b:4d}: {n/1e6:.1f} MB")

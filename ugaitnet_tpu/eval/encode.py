@@ -101,6 +101,14 @@ def encode_dataset(model: UGaitNet, params, ds: GaitDataset,
     pipe = GaitPipeline(ds, cfg, modalities, labmap=None, indices=indices,
                         augment=False, norm_stats=norm_stats)
     n = len(pipe.indices)
+    if n == 0:
+        # loud instead of the opaque np.concatenate error at the end (an
+        # empty probe dir / indices filter is a data mistake; returning
+        # (0, D) codes would just surface later as a silent rank1=0.0)
+        raise ValueError(
+            f"encode_dataset: no samples to encode in '{ds.name}' "
+            f"(dataset len {len(ds)}, indices filter "
+            f"{'set' if indices is not None else 'absent'})")
     encode = make_encode_fn(model, typecode, mesh)
     place = lambda t: t  # noqa: E731
     if mesh is not None:

@@ -75,6 +75,10 @@ def export_encoder(service, out_dir: str,
         "typecode": service.typecode,
         "buckets": sorted(buckets),
         "platform": jax.default_backend(),
+        # audit trail: whether --normstats standardization (and which OF
+        # dequant scale) is baked into the executables
+        "ntype": service.ntype,
+        "normalized": service.norm_stats is not None,
     }
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)

@@ -139,15 +139,26 @@ def _merge_codes_per_video(es: EncodedSet, use_avg: bool = True
                            ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-video merged codes + labels (mean or max pooling,
     mj_testUWYHGaitNet_open_tum.py:355-420)."""
-    uvids = np.unique(es.video_ids)
-    codes, labels = [], []
-    for v in uvids:
-        sel = es.video_ids == v
-        c = es.codes[sel]
-        codes.append(c.mean(axis=0) if use_avg else c.max(axis=0))
-        labs, counts = np.unique(es.labels[sel], return_counts=True)
-        labels.append(labs[np.argmax(counts)])
-    return np.stack(codes), np.asarray(labels)
+    # one argsort + segment reductions, not a boolean mask per video: a
+    # 7x-stacked --allcombos gallery has ~10^4 videos x ~10^5 subsequences
+    # and the O(V*N) loop cost tens of seconds of single-core host time
+    uvids, inv = np.unique(es.video_ids, return_inverse=True)
+    order = np.argsort(inv, kind="stable")
+    starts = np.searchsorted(inv[order], np.arange(len(uvids)))
+    c_sorted = np.asarray(es.codes)[order]
+    if use_avg:
+        sums = np.add.reduceat(c_sorted, starts, axis=0)
+        counts = np.diff(np.append(starts, len(inv)))
+        codes = sums / counts[:, None]
+    else:
+        codes = np.maximum.reduceat(c_sorted, starts, axis=0)
+    labels = []
+    l_sorted = es.labels[order]
+    for i, s in enumerate(starts):
+        e = starts[i + 1] if i + 1 < len(starts) else len(inv)
+        labs, cnt = np.unique(l_sorted[s:e], return_counts=True)
+        labels.append(labs[np.argmax(cnt)])
+    return codes, np.asarray(labels)
 
 
 def eval_openset(gallery: EncodedSet, probe: EncodedSet, knn: int = 3,
@@ -211,7 +222,13 @@ def eval_all_combos(model: UGaitNet, params, gallery_ds: GaitDataset,
         # no-op, instead of re-broadcasting the params per combo
         from ugaitnet_tpu.parallel.sharding import replicate
         params = replicate(params, mesh)
-    if gallery_memo is not None and "gallery" in gallery_memo:
+    # key the memo on everything that shaped the gallery: reusing one memo
+    # dict across a use_avg / combo_gallery / typecode change must rebuild,
+    # not silently serve codes merged under the other configuration (same
+    # bug class as the eval caches that aliased across datasets)
+    memo_key = (gallery_ds.name, combo_gallery, use_avg, cfg.typecode,
+                cfg.batch_size)
+    if gallery_memo is not None and gallery_memo.get("key") == memo_key:
         gallery = gallery_memo["gallery"]
         merged_gallery = gallery_memo["merged"]
     else:
@@ -230,6 +247,7 @@ def eval_all_combos(model: UGaitNet, params, gallery_ds: GaitDataset,
                                  mesh=mesh, norm_stats=norm_stats)
         merged_gallery = _merge_codes_per_video(gallery, use_avg)
         if gallery_memo is not None:
+            gallery_memo["key"] = memo_key
             gallery_memo["gallery"] = gallery
             gallery_memo["merged"] = merged_gallery
     results = {}

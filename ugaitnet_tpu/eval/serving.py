@@ -40,7 +40,8 @@ class SignatureService:
                  compress_factors: Optional[Sequence[float]] = None,
                  buckets: Sequence[int] = (1, 8, 32, 128),
                  quantized: bool = False,
-                 calib_volumes: Optional[Sequence] = None):
+                 calib_volumes: Optional[Sequence] = None,
+                 norm_stats: Optional[Dict] = None):
         # The reference-parity signature normalizes rank-3 signatures over
         # the BATCH axis (ModelConfig.l2_mode="reference",
         # /root/reference/nets/mj_uwyhNets_ba.py:817) — codes then depend on
@@ -64,6 +65,27 @@ class SignatureService:
             else [100.0 if m == "of" else 1.0 for m in modalities])
         self.buckets = tuple(sorted(buckets))
         self._dcfg = DataConfig()
+        # models trained with --normstats standardize every input
+        # (trainer writes norm_stats.npz); a service without the same
+        # stats feeds the net a different input distribution than it was
+        # trained on and identification quietly degrades.  Stats are
+        # baked into the jitted encode (and thus into exported
+        # artifacts) as constants; multi-source stats index by the
+        # optional "source" entry of the raw feed (default 0).
+        self.norm_stats = norm_stats
+        self._norm = None
+        if norm_stats is not None:
+            missing = [m for m in self.modalities if m not in norm_stats]
+            if missing:
+                raise ValueError(
+                    f"norm_stats missing modalities {missing}; a partially"
+                    " standardized encode would mix input scales")
+            self._norm = {
+                m: (jnp.asarray(np.atleast_2d(norm_stats[m][0]),
+                                jnp.float32),
+                    jnp.asarray(np.atleast_2d(norm_stats[m][1]),
+                                jnp.float32))
+                for m in self.modalities}
         self._gallery_codes: Optional[jax.Array] = None
         self._gallery_dense: Optional[jax.Array] = None
         self._ulabels: Optional[np.ndarray] = None
@@ -90,11 +112,24 @@ class SignatureService:
             self.params = quantize_model_params(params, model.config,
                                                 calib_volumes)
 
+        def _prep(raw):
+            if self._norm is not None:
+                raw = dict(raw)
+                for m in self.modalities:
+                    mean, std = self._norm[m]
+                    raw[f"norm_mean_{m}"] = mean   # constants under jit:
+                    raw[f"norm_std_{m}"] = std     # baked into exports
+                if "source" not in raw:
+                    raw["source"] = jnp.zeros(raw["labels"].shape[0],
+                                              jnp.int32)
+            return preprocess_batch(
+                raw, jax.random.PRNGKey(0), self.modalities, self.channels,
+                self.compress_factors, self.ntype, 1, False, self._dcfg,
+                normalize=self._norm is not None)
+
         @functools.partial(jax.jit, static_argnames=("n_classes", "k"))
         def _identify(params, raw, gallery, gallery_dense, n_classes, k):
-            vols, flags, _ = preprocess_batch(
-                raw, jax.random.PRNGKey(0), self.modalities, self.channels,
-                self.compress_factors, self.ntype, 1, False, self._dcfg)
+            vols, flags, _ = _prep(raw)
             if self.quantized:
                 from ugaitnet_tpu.ops.quantize import encode_int8
                 codes = encode_int8(params, vols, flags, self.model.config)
@@ -115,9 +150,7 @@ class SignatureService:
 
         @jax.jit
         def _encode_raw(params, raw):
-            vols, flags, _ = preprocess_batch(
-                raw, jax.random.PRNGKey(0), self.modalities, self.channels,
-                self.compress_factors, self.ntype, 1, False, self._dcfg)
+            vols, flags, _ = _prep(raw)
             if self.quantized:
                 from ugaitnet_tpu.ops.quantize import encode_int8
                 return encode_int8(params, vols, flags, self.model.config)
@@ -168,20 +201,14 @@ class SignatureService:
         a compile (call once after set_gallery/build_gallery)."""
         if self._gallery_codes is None:
             raise RuntimeError("no gallery set")
-        import numpy as _np
-        from ugaitnet_tpu.core.config import (FRAME_H, FRAME_W,
-                                              MODALITY_CHANNELS, NUM_FRAMES)
+        # zeros from the SAME spec derivation the exporter uses — a
+        # drifted copy here would precompile buckets no live query hits
+        from ugaitnet_tpu.eval.export import _raw_specs
         for b in self.buckets:
-            raw = {}
-            for m in self.modalities:
-                c = MODALITY_CHANNELS[m]
-                dt = _np.int16 if self.compress_factors[
-                    self.modalities.index(m)] > 1 else _np.uint8
-                # same spec derivation as eval/export._raw_specs — a
-                # hard-coded shape here would precompile buckets no live
-                # query ever hits
-                raw[f"raw_{m}"] = _np.zeros(
-                    (b, NUM_FRAMES * c, FRAME_H, FRAME_W), dt)
+            specs = _raw_specs(self.modalities, self.channels,
+                               self.compress_factors, b)
+            raw = {k: np.zeros(s.shape, s.dtype)
+                   for k, s in specs.items() if k.startswith("raw_")}
             self.identify_raw(raw)
 
     def _bucket(self, n: int) -> int:
@@ -223,7 +250,10 @@ class SignatureService:
             padded[f"present_{m}"] = jnp.asarray(
                 np.concatenate([pres, np.zeros(nb - n, np.float32)]))
         padded["labels"] = jnp.zeros((nb,), jnp.int32)
-        padded["source"] = jnp.zeros((nb,), jnp.int32)
+        # multi-source norm_stats index by "source"; default dataset 0
+        src = np.asarray(raw.get("source", np.zeros(n, np.int32)))
+        padded["source"] = jnp.asarray(np.concatenate(
+            [src, np.zeros(nb - n)]).astype(np.int32))
         k = min(self.knn, int(self._gallery_codes.shape[0]))
         pred, dists = self._identify(self.params, padded,
                                      self._gallery_codes,

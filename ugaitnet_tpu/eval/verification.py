@@ -31,8 +31,11 @@ def pair_distances(codes: np.ndarray, labels: np.ndarray,
         if len(pos) > 1:
             gt.append(1)
             dists.append(np.linalg.norm(codes[pos[0]] - codes[pos[1]]))
-        if len(neg) >= negs_per_label and len(pos) > 0:
-            for t in range(negs_per_label):
+        # min(), not a >= gate: on a tiny split (complement smaller than
+        # negs_per_label) the gate built ZERO negative pairs and the EER
+        # came back nan even though real negative pairs exist
+        if len(pos) > 0:
+            for t in range(min(negs_per_label, len(neg))):
                 gt.append(0)
                 dists.append(np.linalg.norm(codes[pos[0]] - codes[neg[t]]))
     return np.asarray(gt), np.asarray(dists)

@@ -43,9 +43,13 @@ class MetricsLogger:
         rec = {}
         for k, v in metrics.items():
             try:
-                rec[prefix + k] = float(v)
+                f = float(v)
             except (TypeError, ValueError):
                 continue
+            # nan/inf serialize as literal NaN/Infinity — invalid JSON
+            # that breaks jq/strict consumers of the "greppable" stream
+            # (e.g. an undefined val EER). Store null instead.
+            rec[prefix + k] = f if np.isfinite(f) else None
         # bookkeeping fields win: a metric literally named "time"/"step"
         # must not overwrite the record timestamp/step
         rec["step"] = int(step)
@@ -54,7 +58,7 @@ class MetricsLogger:
         self._f.flush()
         if self._tb is not None:
             for k, v in rec.items():
-                if k not in ("step", "time"):
+                if k not in ("step", "time") and v is not None:
                     self._tb.add_scalar(k, v, step)
 
     def log_histogram(self, step: int, name: str, values: np.ndarray) -> None:

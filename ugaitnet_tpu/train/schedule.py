@@ -66,6 +66,13 @@ class ReduceLROnPlateauOrSlowdown(ReduceLROnPlateau):
     min_delta: float = 0.01
 
     def _improved(self, current: float) -> bool:
+        if not np.isfinite(self.best):
+            # first observation seeds best: with the +/-inf initial best
+            # the relative threshold is inf*min_delta, which is nan at
+            # min_delta=0 — comparisons would stay False forever, best
+            # would never seed, and the LR would decay every `patience`
+            # epochs even while the metric improved
+            return True
         if self.mode == "min":
             # reference: less(best - current, best * min_delta) is the
             # *plateau* test; improvement is its complement.  No abs():

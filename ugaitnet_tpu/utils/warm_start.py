@@ -126,8 +126,23 @@ def warm_start_branches(params: Any, sources: Dict[str, Tuple[str, str]],
             elif src_mod in _REF_BRANCH_ORDER:
                 # NOTE: assumes the source net's modalities are a prefix of
                 # the canonical order — true for every reference main; for
-                # anything else pass '@<branch index>' explicitly
+                # anything else pass '@<branch index>' explicitly.  The h5
+                # cannot confirm this (gaitset branches are positional
+                # mat_mul<N> layers; even the reference's '<mod>Branch'
+                # group names are assigned by slot, keras_import.py:229),
+                # so a multi-branch name resolution is flagged loudly: a
+                # non-prefix source (e.g. a custom gray+depth net) would
+                # otherwise transplant the WRONG branch with no error.
                 idx = _REF_BRANCH_ORDER.index(src_mod)
+                if nh5 > 1:
+                    import warnings
+                    warnings.warn(
+                        f"resolving source branch {src_mod!r} -> index "
+                        f"{idx} of {nh5} assumes the source h5's branches "
+                        f"are ordered {_REF_BRANCH_ORDER[:nh5]} (true for "
+                        "all reference-trained nets); pass "
+                        f"'{dst}={path}@<branch index>' to silence or "
+                        "override", stacklevel=2)
             else:
                 raise ValueError(
                     f"unknown source modality {src_mod!r}; use one of "
@@ -170,8 +185,7 @@ def parse_initbranch_specs(specs, modalities) -> Dict[str, Tuple[str, str]]:
             head, tail = path.rsplit("@", 1)
             # only treat the suffix as a source selector when it looks
             # like one — checkpoint paths may legitimately contain '@'
-            if tail.isdigit() or tail in ("of", "gray", "depth",
-                                          "silhouette", "rgb"):
+            if tail.isdigit() or tail in _REF_BRANCH_ORDER:
                 path, src = head, tail
         if dst not in modalities:
             raise ValueError(
