@@ -17,7 +17,7 @@ for triplet mining and kNN search, and data-parallel sharding over the
 ICI mesh via jax.sharding + shard_map.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 from ugaitnet_tpu.core.config import (  # noqa: F401
     BranchConfig,

@@ -23,9 +23,11 @@ _TRIED = False
 # a .so that the other build is rewriting
 _LIB_LOCK = threading.Lock()
 
+# sources live INSIDE the package (ugaitnet_tpu/native/) so installed
+# copies — not just the repo checkout — can self-build; shipped as
+# package-data by pyproject.toml
 _NATIVE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native")
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "libgaitloader.so")
 
 
