@@ -86,6 +86,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--valperc", type=float, default=0.08)
     p.add_argument("--ndevices", type=int, default=0,
                    help="data-parallel devices (0 = single device)")
+    p.add_argument("--tp", type=int, default=0,
+                   help="model-parallel devices: builds a (ndevices x tp) "
+                        "2D mesh sharding conv channels and the part head "
+                        "(parallel/tensor.py); 0 = off")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (params stay fp32)")
     p.add_argument("--tensorboard", action="store_true")
@@ -150,7 +154,7 @@ def configs_from_args(args):
         use_focal=args.focal, only_triplet=args.onlytriplet,
         triplet_kind=args.tripletkind,
         save_every_epochs=args.savemodelfreq, seed=args.seed,
-        dp_devices=args.ndevices)
+        dp_devices=args.ndevices, tp_devices=args.tp)
     return mcfg, dcfg, tcfg
 
 
@@ -187,7 +191,11 @@ def main(argv=None):
     print(f"* experiment dir: {experdir}", flush=True)
 
     mesh = None
-    if tcfg.dp_devices:
+    if tcfg.tp_devices:
+        # 2D (data, model) mesh: --ndevices x --tp (dp defaults to 1)
+        from ugaitnet_tpu.parallel.tensor import make_mesh2d
+        mesh = make_mesh2d(max(1, tcfg.dp_devices), tcfg.tp_devices)
+    elif tcfg.dp_devices:
         from ugaitnet_tpu.parallel.sharding import make_mesh
         mesh = make_mesh(tcfg.dp_devices)
 

@@ -192,6 +192,9 @@ class TrainConfig:
     seed: int = 0
     # Sharding: data-parallel axis size 0 = use all devices.
     dp_devices: int = 0
+    # Model-parallel axis size; >0 builds a (max(1,dp) x tp) 2D mesh with
+    # conv channels and the part head sharded (parallel/tensor.py).
+    tp_devices: int = 0
 
 
 @dataclass(frozen=True)

@@ -95,7 +95,12 @@ class Trainer:
         self.model = UGaitNet(mcfg)
         self.tx = make_optimizer(tcfg)
         self.mesh = mesh
-        if mesh is not None:
+        self._tp = mesh is not None and "model" in mesh.axis_names
+        if self._tp:
+            from ugaitnet_tpu.parallel.tensor import make_tp_train_step
+            self.step_fn = make_tp_train_step(
+                self.model, self.tx, mcfg, tcfg, mesh)
+        elif mesh is not None:
             from ugaitnet_tpu.parallel.sharding import make_sharded_train_step
             self.step_fn = make_sharded_train_step(
                 self.model, self.tx, mcfg, tcfg, mesh)
@@ -148,7 +153,10 @@ class Trainer:
             state = state.replace(params=self.warm_start(state.params))
             print("* warm-started params (--initnet/--initbranch)",
                   flush=True)
-        if self.mesh is not None:
+        if self._tp:
+            from ugaitnet_tpu.parallel.tensor import place_tp_state
+            state = place_tp_state(state, self.mesh)
+        elif self.mesh is not None:
             from ugaitnet_tpu.parallel.sharding import replicate
             state = replicate(state, self.mesh)
         return state, start_epoch
