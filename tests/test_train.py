@@ -190,3 +190,33 @@ def test_shardmap_step_matches_single_device(setup):
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_remat_identical_numerics(setup):
+    """ModelConfig.remat recomputes activations instead of storing them —
+    the loss, grads, and one optimizer step must be identical to the
+    non-remat model (same ops, same order, just re-executed)."""
+    import dataclasses
+    ds, model, tx, _, pipe, mcfg, tcfg = setup
+    vols, flags, labels = pipe.load(np.arange(8), jax.random.PRNGKey(0))
+    batch = Batch(volumes=tuple(vols), use_flags=tuple(flags), labels=labels)
+
+    mcfg_r = dataclasses.replace(mcfg, remat=True)
+    model_r = UGaitNet(mcfg_r)
+    # identical init: remat is a lifted transform, the param tree and
+    # names must be unchanged (checkpoints interchangeable)
+    s0 = init_state(model, tx, jax.random.PRNGKey(0))
+    s0r = init_state(model_r, tx, jax.random.PRNGKey(0))
+    assert jax.tree_util.tree_structure(s0.params) \
+        == jax.tree_util.tree_structure(s0r.params)
+    for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s0r.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    step = make_train_step(model, tx, mcfg, tcfg)
+    step_r = make_train_step(model_r, tx, mcfg_r, tcfg)
+    s1, m1 = step(s0, batch, jax.random.PRNGKey(7))
+    s1r, m1r = step_r(s0r, batch, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(float(m1["loss"]), float(m1r["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s1r.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -90,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="model-parallel devices: builds a (ndevices x tp) "
                         "2D mesh sharding conv channels and the part head "
                         "(parallel/tensor.py); 0 = off")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize branch activations in backward "
+                        "(jax.checkpoint): ~1/3 extra conv FLOPs for a "
+                        "much smaller HBM peak -> larger per-chip batch")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (params stay fp32)")
     p.add_argument("--tensorboard", action="store_true")
@@ -139,7 +143,8 @@ def configs_from_args(args):
         extra_dense=(256,) if args.casenet == "C" else (),
         postriplet=args.postriplet, dropout_code=args.dropout,
         aux_losses=args.auxlosses, norm_before_merge=args.normbfmerge,
-        compute_dtype="bfloat16" if args.bf16 else "float32")
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        remat=args.remat)
     dcfg = DataConfig(batch_size=args.bs, expand_level=args.expandlevel,
                       repetitions=args.repetitions,
                       augment=not args.noaugment,

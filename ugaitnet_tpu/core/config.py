@@ -112,6 +112,12 @@ class ModelConfig:
     # Compute dtype for convs/matmuls ("float32" for parity, "bfloat16" for
     # peak MXU throughput; params stay float32 either way).
     compute_dtype: str = "float32"
+    # Rematerialize branch activations in the backward pass (jax.checkpoint
+    # around each branch): the frame-stream conv activations are the HBM
+    # peak of the train step ((B,T,64,64,C) per stage); remat trades ~1/3
+    # extra conv FLOPs for that footprint, enabling larger per-chip batches.
+    # Identical numerics (same ops, recomputed).
+    remat: bool = False
 
     @property
     def multimodal(self) -> bool:

@@ -35,24 +35,33 @@ from ugaitnet_tpu.ops import fusion as F
 from ugaitnet_tpu.ops.preprocess import frames_to_planes
 
 
-def make_branch(cfg: BranchConfig, dtype, name: str) -> nn.Module:
+def make_branch(cfg: BranchConfig, dtype, name: str,
+                remat: bool = False) -> nn.Module:
+    def cls(c):
+        # ModelConfig.remat: recompute the branch's conv activations in
+        # the backward pass instead of holding them — the (B,T,64,64,C)
+        # frame-stream stages dominate train-step HBM.  Identical
+        # numerics.  `train` (argnum 2, after self) must be static for
+        # the `deterministic=` plumbing under the lifted transform.
+        return nn.remat(c, static_argnums=(2,)) if remat else c
+
     if cfg.kind == "gaitset":
-        return GaitSetBranch(channels=cfg.gaitset_channels,
-                             hpp_bins=cfg.hpp_bins, part_dim=cfg.part_dim,
-                             leaky_alpha=cfg.leaky_alpha, dtype=dtype,
-                             name=name)
+        return cls(GaitSetBranch)(
+            channels=cfg.gaitset_channels,
+            hpp_bins=cfg.hpp_bins, part_dim=cfg.part_dim,
+            leaky_alpha=cfg.leaky_alpha, dtype=dtype, name=name)
     if cfg.kind == "conv2d":
-        return Conv2DBranch(filters_numbers=cfg.filters_numbers,
-                            filters_size=cfg.filters_size,
-                            ndense_units=cfg.ndense_units,
-                            dropout=cfg.dropout, activation=cfg.activation,
-                            leaky_alpha=cfg.leaky_alpha, dtype=dtype,
-                            name=name)
+        return cls(Conv2DBranch)(
+            filters_numbers=cfg.filters_numbers,
+            filters_size=cfg.filters_size,
+            ndense_units=cfg.ndense_units,
+            dropout=cfg.dropout, activation=cfg.activation,
+            leaky_alpha=cfg.leaky_alpha, dtype=dtype, name=name)
     if cfg.kind == "conv3d":
-        return Conv3DBranch(ndense_units=cfg.ndense_units,
-                            activation=cfg.activation,
-                            leaky_alpha=cfg.leaky_alpha, dtype=dtype,
-                            name=name)
+        return cls(Conv3DBranch)(
+            ndense_units=cfg.ndense_units,
+            activation=cfg.activation,
+            leaky_alpha=cfg.leaky_alpha, dtype=dtype, name=name)
     raise ValueError(f"unknown branch kind: {cfg.kind}")
 
 
@@ -74,12 +83,13 @@ class UGaitNet(nn.Module):
 
         embeddings: List[jax.Array] = []
         for i, bcfg in enumerate(cfg.branches):
-            branch = make_branch(bcfg, dtype, name=f"branch_{bcfg.modality}")
+            branch = make_branch(bcfg, dtype, name=f"branch_{bcfg.modality}",
+                                 remat=cfg.remat)
             x = volumes[i]
             if bcfg.kind == "conv2d":
                 # 2D branch consumes the (H, W, T*C) plane volume.
                 x = jnp.moveaxis(frames_to_planes(x), -3, -1)
-            e = branch(x, train=train)
+            e = branch(x, train)  # positional: remat's static_argnums=(2,)
             if bcfg.kind == "gaitset" and bcfg.flatten_output:
                 # BothDatasets variant: per-sample flatten + L2
                 # (mj_uwyhNets_bothDatasets.py:395-399)
