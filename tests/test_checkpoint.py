@@ -50,3 +50,31 @@ def test_surgery_restore_different_head(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(merged["params"]["classprob"]["kernel"]),
         np.asarray(params9["params"]["classprob"]["kernel"]))
+
+
+def test_merge_matching_namedtuple_opt_state():
+    """An orbax-restored opt_state comes back as plain lists/dicts; merging
+    it into a live TrainState must rebuild NamedTuple nodes (optax
+    ScaleByAdamState takes N field args, not one list) and keep EmptyState
+    as-is rather than collapsing it to a (0,) ndarray."""
+    import optax
+    params = {"w": np.arange(4, dtype=np.float32).reshape(2, 2),
+              "b": np.zeros(2, np.float32)}
+    tx = optax.adam(1e-3)
+    st = tx.init(params)
+
+    def to_plain(t):   # what a json/orbax round-trip produces
+        if isinstance(t, tuple):
+            return [to_plain(x) for x in t]
+        if isinstance(t, dict):
+            return {k: to_plain(v) for k, v in t.items()}
+        return np.asarray(t)
+
+    source = to_plain(jax.tree.map(lambda x: np.asarray(x) + 1.0, st))
+    merged = ckpt.merge_matching(st, source)
+    # structure preserved: same pytree (NamedTuples intact)
+    assert jax.tree_util.tree_structure(merged) == \
+        jax.tree_util.tree_structure(st)
+    assert type(merged[0]).__name__ == type(st[0]).__name__
+    for a, b in zip(jax.tree.leaves(merged), jax.tree.leaves(st)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b) + 1.0)

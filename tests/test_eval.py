@@ -280,6 +280,9 @@ def test_merge_codes_per_video_matches_reference_loop():
         codes, labels = _merge_codes_per_video(es, use_avg)
         uvids = np.unique(es.video_ids)
         assert codes.shape == (len(uvids), 5)
+        # int count division must not promote the merged gallery to f64
+        # (2x memory on the 7x --allcombos stack, f64 kNN distances)
+        assert codes.dtype == np.float32
         for i, v in enumerate(uvids):
             sel = es.video_ids == v
             c = es.codes[sel]

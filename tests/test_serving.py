@@ -193,3 +193,68 @@ def test_norm_stats_missing_modality_rejected():
     with pytest.raises(ValueError, match="missing modalities"):
         SignatureService(model, params, ("of", "gray"),
                          norm_stats={"of": (np.zeros(2), np.ones(2))})
+
+
+def test_multi_source_norm_stats_end_to_end(tmp_path):
+    """BothDatasets serving: each gallery sample is standardized with ITS
+    dataset's stats row (not row 0), exported artifacts take a per-sample
+    'source' input, and multi-source queries without one fail loudly."""
+    from ugaitnet_tpu.eval.encode import encode_dataset
+    from ugaitnet_tpu.eval.export import ExportedEncoder, export_encoder
+
+    ds = make_synthetic_dataset(num_subjects=4, videos_per_subject=2,
+                                subseqs_per_video=2, seed=13)
+    # alternate samples between two "datasets" with very different stats
+    ds.dataset_source = (np.arange(len(ds)) % 2).astype(np.int32)
+    mcfg = ModelConfig(
+        branches=(BranchConfig(kind="gaitset", modality="of",
+                               gaitset_channels=(4, 4, 8), part_dim=8),
+                  BranchConfig(kind="gaitset", modality="gray",
+                               gaitset_channels=(4, 4, 8), part_dim=8)),
+        merge="sign_max", nclasses=0, l2_mode="feature")
+    model = UGaitNet(mcfg)
+    params = init_params(model, jax.random.PRNGKey(3))
+    rng = np.random.RandomState(9)
+    stats = {}
+    for m in ("of", "gray"):
+        tc = ds.modalities[m].volumes.shape[1]
+        stats[m] = (
+            np.stack([0.1 * rng.randn(tc), 2.0 + rng.randn(tc)]
+                     ).astype(np.float32),
+            np.stack([1.0 + 0.5 * rng.rand(tc), 3.0 + rng.rand(tc)]
+                     ).astype(np.float32))
+
+    codes_eval, _, _, _ = encode_dataset(model, params, ds, ("of", "gray"),
+                                         typecode=3, batch_size=8,
+                                         norm_stats=stats)
+    svc = SignatureService(model, params, ("of", "gray"), buckets=(8,),
+                           norm_stats=stats)
+    assert svc.norm_sources == 2
+    svc.build_gallery(ds, batch_size=8)
+    # pre-fix, build_gallery standardized every sample with row 0 and the
+    # source=1 half of the gallery silently diverged from the eval path
+    np.testing.assert_allclose(np.asarray(svc._gallery_codes), codes_eval,
+                               rtol=2e-5, atol=1e-6)
+
+    # multi-source queries must declare their dataset
+    raw = {"raw_of": ds.modalities["of"].volumes[:2],
+           "raw_gray": ds.modalities["gray"].volumes[:2]}
+    with pytest.raises(ValueError, match="source"):
+        svc.identify_raw(raw)
+    raw["source"] = ds.dataset_source[:2]
+    labels, _ = svc.identify_raw(raw)
+    np.testing.assert_array_equal(labels, ds.labels[:2])
+
+    # exported artifact: carries the source input and reproduces the
+    # service's codes for mixed-source feeds
+    out = str(tmp_path / "artifact")
+    export_encoder(svc, out, buckets=(8,))
+    enc = ExportedEncoder(out)
+    assert enc.meta["has_source"] and enc.meta["norm_sources"] == 2
+    feed = {"raw_of": np.asarray(ds.modalities["of"].volumes[:8]),
+            "raw_gray": np.asarray(ds.modalities["gray"].volumes[:8]),
+            "source": ds.dataset_source[:8]}
+    got = enc.encode(feed)
+    np.testing.assert_allclose(got, codes_eval[:8], rtol=2e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="source"):
+        enc.encode({k: v for k, v in feed.items() if k != "source"})

@@ -122,6 +122,21 @@ def test_plateau_slowdown_min_delta_zero_seeds_best():
     assert p.best == 0.25
 
 
+def test_plateau_slowdown_nan_metric_still_decays():
+    """A NaN monitored metric (diverging run) must count as NO improvement:
+    treating any non-finite best as 'seed again' let NaN re-seed best every
+    epoch, so wait never accumulated and the LR never dropped while the
+    run diverged."""
+    p = ReduceLROnPlateauOrSlowdown(lr=1.0, factor=0.5, patience=2,
+                                    min_delta=0.01)
+    assert p.update(float("nan")) == 1.0   # wait 1: nan never seeds best
+    assert p.update(float("nan")) == 0.5   # wait 2 -> reduce
+    assert np.isinf(p.best)                # best still unseeded
+    assert p.update(2.0) == 0.5            # first finite value seeds best
+    assert p.best == 2.0
+    assert p.update(1.0) == 0.5            # real improvement, no decay
+
+
 def test_early_stop():
     e = EarlyStopOnAccuracy(0.99)
     assert not e.update(0.5)

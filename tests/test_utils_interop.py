@@ -132,3 +132,22 @@ def test_tfrecord_negative_int64_and_data_crc(tmp_path):
     open(bad, "wb").write(bytes(raw))
     with pytest.raises(ValueError, match="corrupt"):
         list(iter_tfrecords(bad, crc="full"))
+
+
+def test_tfrecord_truncated_header_raises(tmp_path):
+    """0 bytes left = clean EOF; 1-11 bytes left = a file cut mid-header
+    (partial copy) and must raise like mid-payload truncation does, not
+    silently shorten the dataset."""
+    import struct
+    from ugaitnet_tpu.data.tfrecord import _masked_crc, iter_tfrecords
+    payload = b"hello-record"
+    head = struct.pack("<Q", len(payload))
+    rec = (head + struct.pack("<I", _masked_crc(head)) + payload
+           + struct.pack("<I", _masked_crc(payload)))
+    ok = tmp_path / "ok.tfrecord"
+    ok.write_bytes(rec)
+    assert list(iter_tfrecords(str(ok), crc="full")) == [payload]
+    trunc = tmp_path / "trunc.tfrecord"
+    trunc.write_bytes(rec + rec[:7])   # 7 bytes of a second record's header
+    with pytest.raises(ValueError, match="length header cut"):
+        list(iter_tfrecords(str(trunc), crc="none"))

@@ -100,12 +100,9 @@ def main(argv=None):
     # models trained with --normstats persist their standardization
     # (trainer writes norm_stats.npz); encode with the same stats or the
     # net sees inputs on the wrong scale
-    norm_stats = None
-    ns_path = os.path.join(args.experdir, "norm_stats.npz")
-    if os.path.exists(ns_path):
-        z = np.load(ns_path)
-        norm_stats = {m: (z[f"mean_{m}"], z[f"std_{m}"])
-                      for m in modalities}
+    from ugaitnet_tpu.data.pipeline import load_norm_stats
+    norm_stats = load_norm_stats(args.experdir, modalities)
+    if norm_stats is not None:
         print("* using persisted norm_stats.npz standardization",
               flush=True)
     ecfg = EvalConfig(knn=args.knn, typecode=args.typecode,

@@ -53,15 +53,9 @@ def main(argv=None):
     # models trained with --normstats persist their standardization; bake
     # it into the artifact or the served net sees inputs on the wrong
     # scale (same rule as cli/evaluate.py)
-    import os
-
-    import numpy as np
-    norm_stats = None
-    ns_path = os.path.join(args.experdir, "norm_stats.npz")
-    if os.path.exists(ns_path):
-        z = np.load(ns_path)
-        norm_stats = {m: (z[f"mean_{m}"], z[f"std_{m}"])
-                      for m in modalities}
+    from ugaitnet_tpu.data.pipeline import load_norm_stats
+    norm_stats = load_norm_stats(args.experdir, modalities)
+    if norm_stats is not None:
         print("* baking persisted norm_stats.npz standardization into "
               "the artifact")
     svc = SignatureService(model, state.params, modalities,

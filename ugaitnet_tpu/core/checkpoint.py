@@ -93,6 +93,11 @@ def merge_matching(target: Any, source: Any) -> Any:
         return {k: (merge_matching(v, source.get(k))
                     if isinstance(source, dict) else v)
                 for k, v in target.items()}
+    if isinstance(target, tuple) and not target:
+        # empty containers (optax EmptyState) must survive as themselves —
+        # the array path below would turn them into a (0,) ndarray and
+        # corrupt the opt_state tree structure
+        return target
     if (isinstance(target, (list, tuple)) and isinstance(source, (list, tuple))
             and any(isinstance(t, (dict, list, tuple)) for t in target)):
         # structured container subtrees (e.g. a restored opt_state that came
@@ -101,8 +106,12 @@ def merge_matching(target: Any, source: Any) -> Any:
         # Flat numeric lists fall through to the array path below.
         if len(target) == len(source):
             merged = [merge_matching(t, s) for t, s in zip(target, source)]
-            return type(target)(merged) if isinstance(target, tuple) \
-                else merged
+            if isinstance(target, tuple):
+                # NamedTuples (optax states like ScaleByAdamState) take N
+                # field args, not one list
+                return (type(target)(*merged)
+                        if hasattr(target, "_fields") else tuple(merged))
+            return merged
         return target
     if source is None:
         return target

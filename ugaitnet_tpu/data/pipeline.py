@@ -88,6 +88,37 @@ def compute_normalization_stats(ds: GaitDataset, modality: str,
             np.maximum(np.sqrt(var), 1e-6).astype(np.float32))
 
 
+def save_norm_stats(experdir: str, norm_stats: Dict) -> str:
+    """Persist {modality: (mean, std)} standardization next to the
+    experiment's checkpoints (the reference passes its normalize-h5 paths
+    to the eval mains by hand, mj_dataGeneratorMMUWYHBothDatasets.py:89-99;
+    here training persists them once and eval/export reload them)."""
+    import os
+    path = os.path.join(experdir, "norm_stats.npz")
+    np.savez(path,
+             **{f"mean_{m}": v[0] for m, v in norm_stats.items()},
+             **{f"std_{m}": v[1] for m, v in norm_stats.items()})
+    return path
+
+
+def load_norm_stats(experdir: str, modalities) -> Optional[Dict]:
+    """Load save_norm_stats() output; None when the experiment was trained
+    without --normstats. Shared by cli/evaluate and cli/export_model so the
+    reconstruction of the standardization cannot drift between them."""
+    import os
+    path = os.path.join(experdir, "norm_stats.npz")
+    if not os.path.exists(path):
+        return None
+    z = np.load(path)
+    missing = [m for m in modalities
+               if f"mean_{m}" not in z or f"std_{m}" not in z]
+    if missing:
+        raise ValueError(
+            f"{path} lacks stats for modalities {missing}; it was written "
+            "for a different branch set than this experiment's config")
+    return {m: (z[f"mean_{m}"], z[f"std_{m}"]) for m in modalities}
+
+
 def _dropout_masks(key: jax.Array, batch: int, nmods: int, expand: int
                    ) -> jax.Array:
     """(B, E, nmods) 0/1 keep-masks for the expand copies (copy 0 = all 1).

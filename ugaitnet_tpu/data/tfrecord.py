@@ -56,8 +56,12 @@ def iter_tfrecords(path: str, crc: str = "header") -> Iterator[bytes]:
     with open(path, "rb") as f:
         while True:
             header = f.read(12)
+            if not header:
+                return          # clean EOF on a record boundary
             if len(header) < 12:
-                return
+                raise ValueError(
+                    f"truncated TFRecord {path}: 12-byte length header cut "
+                    f"short at EOF ({len(header)} bytes left)")
             (length,), (hcrc,) = (struct.unpack("<Q", header[:8]),
                                   struct.unpack("<I", header[8:]))
             if crc != "none" and _masked_crc(header[:8]) != hcrc:

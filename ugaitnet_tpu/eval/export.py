@@ -30,12 +30,18 @@ from jax import export as jax_export
 
 
 def _raw_specs(modalities, channels, compress_factors,
-               batch: int) -> Dict[str, jax.ShapeDtypeStruct]:
+               batch: int, with_source: bool = False
+               ) -> Dict[str, jax.ShapeDtypeStruct]:
     """Input spec of SignatureService's raw dict at one bucket size
     (data/pipeline.preprocess_batch consumes interleaved quantized planes:
     (B, T*C, H, W) per modality + per-modality presence flags).  The raw
     dtype follows the quantization scale exactly like serving's warmup()
-    does: factor > 1 means x100-style int16 planes, else uint8."""
+    does: factor > 1 means x100-style int16 planes, else uint8.
+
+    with_source: services that bake --normstats standardization select the
+    stats row by each sample's dataset "source"; without this input the
+    trace would bake source=0 as a constant and a BothDatasets artifact
+    would standardize every query with dataset 0's statistics."""
     from ugaitnet_tpu.core.config import FRAME_H, FRAME_W, NUM_FRAMES
     spec: Dict[str, jax.ShapeDtypeStruct] = {}
     for m, c, f in zip(modalities, channels, compress_factors):
@@ -44,6 +50,8 @@ def _raw_specs(modalities, channels, compress_factors,
             (batch, NUM_FRAMES * c, FRAME_H, FRAME_W), dt)
         spec[f"present_{m}"] = jax.ShapeDtypeStruct((batch,), jnp.float32)
     spec["labels"] = jax.ShapeDtypeStruct((batch,), jnp.int32)
+    if with_source:
+        spec["source"] = jax.ShapeDtypeStruct((batch,), jnp.int32)
     return spec
 
 
@@ -59,9 +67,11 @@ def export_encoder(service, out_dir: str,
         return service._encode_raw(params, raw)
 
     sizes: Dict[int, int] = {}
+    with_source = service.norm_stats is not None
     for b in buckets:
         spec = _raw_specs(service.modalities, service.channels,
-                          service.compress_factors, b)
+                          service.compress_factors, b,
+                          with_source=with_source)
         exp = jax_export.export(jax.jit(encode))(spec)
         blob = exp.serialize()
         with open(os.path.join(out_dir, f"encode_b{b}.bin"), "wb") as f:
@@ -79,6 +89,10 @@ def export_encoder(service, out_dir: str,
         # dequant scale) is baked into the executables
         "ntype": service.ntype,
         "normalized": service.norm_stats is not None,
+        # normalized artifacts take a per-sample dataset "source" input
+        # selecting the stats row; norm_sources says how many rows exist
+        "has_source": with_source,
+        "norm_sources": service.norm_sources,
     }
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
@@ -168,5 +182,15 @@ class ExportedEncoder:
                 [pres, np.zeros(b - len(pres), np.float32)])
             feed[f"present_{m}"] = jnp.asarray(pres.astype(np.float32))
         feed["labels"] = jnp.zeros((b,), jnp.int32)
+        if self.meta.get("has_source"):
+            if self.meta.get("norm_sources", 1) > 1 and "source" not in raw:
+                raise ValueError(
+                    "this artifact standardizes with "
+                    f"{self.meta['norm_sources']} dataset-source stat "
+                    "rows; queries must carry a 'source' entry selecting "
+                    "each sample's dataset")
+            src = np.asarray(raw.get("source", np.zeros(n, np.int32)))
+            feed["source"] = jnp.asarray(np.concatenate(
+                [src, np.zeros(b - len(src))]).astype(np.int32))
         codes = self._fns[b].call(feed)
         return np.asarray(codes)[:n]

@@ -149,7 +149,9 @@ def _merge_codes_per_video(es: EncodedSet, use_avg: bool = True
     if use_avg:
         sums = np.add.reduceat(c_sorted, starts, axis=0)
         counts = np.diff(np.append(starts, len(inv)))
-        codes = sums / counts[:, None]
+        # divide in the codes' own dtype: int64 counts would promote the
+        # merged gallery to float64 (2x memory, float64 kNN distances)
+        codes = sums / counts[:, None].astype(c_sorted.dtype)
     else:
         codes = np.maximum.reduceat(c_sorted, starts, axis=0)
     labels = []

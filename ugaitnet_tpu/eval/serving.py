@@ -74,6 +74,7 @@ class SignatureService:
         # optional "source" entry of the raw feed (default 0).
         self.norm_stats = norm_stats
         self._norm = None
+        self.norm_sources = 1
         if norm_stats is not None:
             missing = [m for m in self.modalities if m not in norm_stats]
             if missing:
@@ -86,6 +87,12 @@ class SignatureService:
                     jnp.asarray(np.atleast_2d(norm_stats[m][1]),
                                 jnp.float32))
                 for m in self.modalities}
+            rows = {int(v[0].shape[0]) for v in self._norm.values()}
+            if len(rows) > 1:
+                raise ValueError(
+                    f"norm_stats disagree on dataset-source count per "
+                    f"modality: {sorted(rows)}")
+            self.norm_sources = rows.pop()
         self._gallery_codes: Optional[jax.Array] = None
         self._gallery_dense: Optional[jax.Array] = None
         self._ulabels: Optional[np.ndarray] = None
@@ -184,8 +191,14 @@ class SignatureService:
             if real < batch_size:  # reuse the compiled full-batch executable
                 idx = np.concatenate(
                     [idx, np.full(batch_size - real, idx[-1])])
+            # the dataset's real per-sample source selects the norm_stats
+            # row — hardcoded zeros would standardize every sample of a
+            # BothDatasets gallery with dataset 0's statistics
+            src = getattr(ds, "dataset_source", None)
             raw = {"labels": jnp.zeros(len(idx), jnp.int32),
-                   "source": jnp.zeros(len(idx), jnp.int32)}
+                   "source": jnp.asarray(
+                       src[idx].astype(np.int32) if src is not None
+                       else np.zeros(len(idx), np.int32))}
             for m in self.modalities:
                 store = ds.modalities[m]
                 raw[f"raw_{m}"] = jnp.asarray(
@@ -206,9 +219,11 @@ class SignatureService:
         from ugaitnet_tpu.eval.export import _raw_specs
         for b in self.buckets:
             specs = _raw_specs(self.modalities, self.channels,
-                               self.compress_factors, b)
+                               self.compress_factors, b,
+                               with_source=self._norm is not None)
             raw = {k: np.zeros(s.shape, s.dtype)
-                   for k, s in specs.items() if k.startswith("raw_")}
+                   for k, s in specs.items()
+                   if k.startswith("raw_") or k == "source"}
             self.identify_raw(raw)
 
     def _bucket(self, n: int) -> int:
@@ -250,7 +265,14 @@ class SignatureService:
             padded[f"present_{m}"] = jnp.asarray(
                 np.concatenate([pres, np.zeros(nb - n, np.float32)]))
         padded["labels"] = jnp.zeros((nb,), jnp.int32)
-        # multi-source norm_stats index by "source"; default dataset 0
+        # multi-source norm_stats index by "source"; with one stats row the
+        # default 0 is the only row, but with several a missing source would
+        # silently standardize every query with dataset 0's statistics
+        if self.norm_sources > 1 and "source" not in raw:
+            raise ValueError(
+                f"this service standardizes with {self.norm_sources} "
+                "dataset-source stat rows; queries must carry a 'source' "
+                "entry selecting each sample's dataset")
         src = np.asarray(raw.get("source", np.zeros(n, np.int32)))
         padded["source"] = jnp.asarray(np.concatenate(
             [src, np.zeros(nb - n)]).astype(np.int32))

@@ -66,13 +66,16 @@ class ReduceLROnPlateauOrSlowdown(ReduceLROnPlateau):
     min_delta: float = 0.01
 
     def _improved(self, current: float) -> bool:
-        if not np.isfinite(self.best):
-            # first observation seeds best: with the +/-inf initial best
-            # the relative threshold is inf*min_delta, which is nan at
+        if np.isinf(self.best):
+            # first FINITE observation seeds best: with the +/-inf initial
+            # best the relative threshold is inf*min_delta, which is nan at
             # min_delta=0 — comparisons would stay False forever, best
             # would never seed, and the LR would decay every `patience`
-            # epochs even while the metric improved
-            return True
+            # epochs even while the metric improved.  A nan metric (diverging
+            # run) must never seed or count as improvement — it would re-seed
+            # best every epoch, wait would never accumulate, and the LR would
+            # never drop exactly when the run needs it to
+            return np.isfinite(current)
         if self.mode == "min":
             # reference: less(best - current, best * min_delta) is the
             # *plateau* test; improvement is its complement.  No abs():

@@ -88,10 +88,8 @@ class Trainer:
             # evaluation/serving can reproduce it (the reference passes
             # its normalize-h5 paths to the eval mains by hand); loaded
             # automatically by cli/evaluate.py
-            import numpy as _np
-            _np.savez(os.path.join(experdir, "norm_stats.npz"),
-                      **{f"mean_{m}": v[0] for m, v in norm_stats.items()},
-                      **{f"std_{m}": v[1] for m, v in norm_stats.items()})
+            from ugaitnet_tpu.data.pipeline import save_norm_stats
+            save_norm_stats(experdir, norm_stats)
         self.model = UGaitNet(mcfg)
         self.tx = make_optimizer(tcfg)
         self.mesh = mesh
