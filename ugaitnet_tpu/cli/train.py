@@ -90,6 +90,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="model-parallel devices: builds a (ndevices x tp) "
                         "2D mesh sharding conv channels and the part head "
                         "(parallel/tensor.py); 0 = off")
+    p.add_argument("--sp", type=int, default=0,
+                   help="sequence-parallel devices: builds a (ndevices x "
+                        "sp) 2D mesh sharding the gait set (time) axis — "
+                        "frame convs run on T/sp frames per device, set "
+                        "pools close over ICI (parallel/sequence.py); "
+                        "0 = off, exclusive with --tp")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize branch activations in backward "
                         "(jax.checkpoint): ~1/3 extra conv FLOPs for a "
@@ -159,7 +165,7 @@ def configs_from_args(args):
         use_focal=args.focal, only_triplet=args.onlytriplet,
         triplet_kind=args.tripletkind,
         save_every_epochs=args.savemodelfreq, seed=args.seed,
-        dp_devices=args.ndevices, tp_devices=args.tp)
+        dp_devices=args.ndevices, tp_devices=args.tp, sp_devices=args.sp)
     return mcfg, dcfg, tcfg
 
 
@@ -196,10 +202,17 @@ def main(argv=None):
     print(f"* experiment dir: {experdir}", flush=True)
 
     mesh = None
+    if tcfg.tp_devices and tcfg.sp_devices:
+        raise SystemExit("--tp and --sp are exclusive (one 2D mesh each); "
+                         "pick the sharding that relieves your bottleneck")
     if tcfg.tp_devices:
         # 2D (data, model) mesh: --ndevices x --tp (dp defaults to 1)
         from ugaitnet_tpu.parallel.tensor import make_mesh2d
         mesh = make_mesh2d(max(1, tcfg.dp_devices), tcfg.tp_devices)
+    elif tcfg.sp_devices:
+        # 2D (data, seq) mesh: --ndevices x --sp (dp defaults to 1)
+        from ugaitnet_tpu.parallel.sequence import make_mesh_dpsp
+        mesh = make_mesh_dpsp(max(1, tcfg.dp_devices), tcfg.sp_devices)
     elif tcfg.dp_devices:
         from ugaitnet_tpu.parallel.sharding import make_mesh
         mesh = make_mesh(tcfg.dp_devices)

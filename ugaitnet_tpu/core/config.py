@@ -118,6 +118,11 @@ class ModelConfig:
     # extra conv FLOPs for that footprint, enabling larger per-chip batches.
     # Identical numerics (same ops, recomputed).
     remat: bool = False
+    # Sequence-parallel mesh axis name: when set, every gaitset set-pool
+    # finishes its max over the time axis with an all_gather over this
+    # shard_map axis (parallel/sequence.py shards the T dim across it).
+    # None (default) = the model runs self-contained under plain jit.
+    seq_axis: str = ""
 
     @property
     def multimodal(self) -> bool:
@@ -201,6 +206,10 @@ class TrainConfig:
     # Model-parallel axis size; >0 builds a (max(1,dp) x tp) 2D mesh with
     # conv channels and the part head sharded (parallel/tensor.py).
     tp_devices: int = 0
+    # Sequence-parallel axis size; >0 builds a (max(1,dp) x sp) 2D mesh
+    # sharding the gait set (time) axis (parallel/sequence.py).  Mutually
+    # exclusive with tp_devices.
+    sp_devices: int = 0
 
 
 @dataclass(frozen=True)

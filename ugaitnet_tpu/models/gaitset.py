@@ -82,17 +82,27 @@ class FrameConv(nn.Module):
         return _conv5d(x, w, self.dtype)
 
 
-def _set_max(a: jax.Array) -> jax.Array:
+def _set_max(a: jax.Array, seq_axis: str = "") -> jax.Array:
     """Set pooling: max over the time axis of (B, T, H, W, C) -> (B, H, W, C).
 
     T is a major (non-lane) dim in the 5D layout, so this reduce is
     layout-preserving.  -jnp.inf must be a python scalar literal so jax
-    selects the differentiable reduce_window_max primitive."""
+    selects the differentiable reduce_window_max primitive.
+
+    seq_axis: sequence-parallel mesh axis (parallel/sequence.py). Under
+    shard_map the T dim holds only this shard's frames; the global set max
+    is the max over shards of the local max — recovered with a
+    differentiable all_gather (its VJP routes cotangents back to the
+    owning shard; lax.pmax has no batching/differentiation rule) + a tiny
+    (B, n_shards, H, W, C) max."""
     t = a.shape[1]
     out = lax.reduce_window(
         a, -jnp.inf, lax.max,
         (1, t, 1, 1, 1), (1, t, 1, 1, 1), "VALID")
-    return jnp.squeeze(out, axis=1)
+    out = jnp.squeeze(out, axis=1)
+    if seq_axis:
+        out = jnp.max(lax.all_gather(out, seq_axis, axis=1), axis=1)
+    return out
 
 
 class GaitSetBranch(nn.Module):
@@ -102,6 +112,9 @@ class GaitSetBranch(nn.Module):
     leaky_alpha: float = 0.3
     pad: int = 2          # ZeroPadding2D(2): 60 -> 64 so pools/bins divide
     dtype: jnp.dtype = jnp.float32
+    # sequence-parallel axis: set pools close over this shard_map axis
+    # (ModelConfig.seq_axis -> parallel/sequence.py); "" = single program
+    seq_axis: str = ""
 
     def _conv(self, f: int, k: int, name: str):
         return FrameConv(f, k, dtype=self.dtype, name=name)
@@ -143,7 +156,7 @@ class GaitSetBranch(nn.Module):
         a = lrelu(pool(a))                                     # (B, T, 32, 32, c1)
 
         # --- set stream, stage 1
-        sb = _set_max(a)                                       # set pool
+        sb = _set_max(a, self.seq_axis)                        # set pool
         sb = lrelu(self._bconv(c2, 3, "b_conv1")(sb))
         sb = self._bconv(c2, 3, "b_conv2")(sb)
         sb = lrelu(nn.max_pool(sb, (2, 2), strides=(2, 2)))    # (B, 16, 16, c2)
@@ -153,14 +166,14 @@ class GaitSetBranch(nn.Module):
         a = self._conv(c2, 3, "a_conv4")(a)
         a = lrelu(pool(a))                                     # (B, T, 16, 16, c2)
 
-        sb = sb + _set_max(a)                                  # residual add
+        sb = sb + _set_max(a, self.seq_axis)                   # residual add
         sb = lrelu(self._bconv(c3, 3, "b_conv3")(sb))
         sb = lrelu(self._bconv(c3, 3, "b_conv4")(sb))          # (B, 16, 16, c3)
 
         # --- frame stream, stage 3 + final set pool
         a = lrelu(self._conv(c3, 3, "a_conv5")(a))
         a = self._conv(c3, 3, "a_conv6")(a)
-        sa = lrelu(_set_max(a))                                # (B, 16, 16, c3)
+        sa = lrelu(_set_max(a, self.seq_axis))                 # (B, 16, 16, c3)
 
         sb = sb + sa
 

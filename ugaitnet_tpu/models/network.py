@@ -36,7 +36,7 @@ from ugaitnet_tpu.ops.preprocess import frames_to_planes
 
 
 def make_branch(cfg: BranchConfig, dtype, name: str,
-                remat: bool = False) -> nn.Module:
+                remat: bool = False, seq_axis: str = "") -> nn.Module:
     def cls(c):
         # ModelConfig.remat: recompute the branch's conv activations in
         # the backward pass instead of holding them — the (B,T,64,64,C)
@@ -49,7 +49,15 @@ def make_branch(cfg: BranchConfig, dtype, name: str,
         return cls(GaitSetBranch)(
             channels=cfg.gaitset_channels,
             hpp_bins=cfg.hpp_bins, part_dim=cfg.part_dim,
-            leaky_alpha=cfg.leaky_alpha, dtype=dtype, name=name)
+            leaky_alpha=cfg.leaky_alpha, dtype=dtype, name=name,
+            seq_axis=seq_axis)
+    if seq_axis:
+        # conv2d consumes the T*C plane stack densely and conv3d convolves
+        # across time — neither is frame-separable, so a T-sharded volume
+        # would silently compute on a fraction of the clip
+        raise ValueError(
+            f"sequence parallelism requires gaitset branches (set-pool "
+            f"frame separability); branch kind {cfg.kind!r} is not")
     if cfg.kind == "conv2d":
         return cls(Conv2DBranch)(
             filters_numbers=cfg.filters_numbers,
@@ -84,7 +92,7 @@ class UGaitNet(nn.Module):
         embeddings: List[jax.Array] = []
         for i, bcfg in enumerate(cfg.branches):
             branch = make_branch(bcfg, dtype, name=f"branch_{bcfg.modality}",
-                                 remat=cfg.remat)
+                                 remat=cfg.remat, seq_axis=cfg.seq_axis)
             x = volumes[i]
             if bcfg.kind == "conv2d":
                 # 2D branch consumes the (H, W, T*C) plane volume.

@@ -110,31 +110,19 @@ def make_sharded_train_step(model, tx, mcfg, tcfg, mesh: Mesh):
                    out_shardings=(rep, rep))
 
 
-def make_shardmap_train_step(model, tx, mcfg, tcfg, mesh: Mesh):
-    """Explicit-collectives data-parallel step (shard_map).
-
-    The GSPMD step above gives global-batch semantics (identical to single
-    device). This variant spells the collectives out, SURVEY.md §2.5 style:
-    per-shard forward, `all_gather` of the (b_local, P, D) signatures +
-    labels over ICI before batch-all mining (the parity-preserving choice —
-    the gathered embeddings are ~4 MB, cheap on ICI), `pmean` of the local
-    CE/aux terms, and `pmean` of gradients (the NCCL-all-reduce analogue).
-
-    Semantics note: with ModelConfig.l2_mode="reference" the signature
-    normalizes over the LOCAL batch axis here — exactly what the reference's
-    MirroredStrategy replicas did — whereas the GSPMD step normalizes over
-    the global batch (single-device semantics). With l2_mode="feature" the
-    two are numerically identical (tested).
-    """
-    import optax
+def make_local_loss(model, mcfg, tcfg, axis: str = DATA_AXIS):
+    """Per-shard loss with explicit collectives: all_gather of the
+    (b_local, P, D) signatures + labels over `axis` before batch-all mining
+    (the parity-preserving choice — the gathered embeddings are ~4 MB,
+    cheap on ICI), `pmean` of the local CE/aux terms over `axis`.  Shared
+    by the shard_map DP step below and the sequence-parallel step
+    (parallel/sequence.py); tcfg must already be through _xla_triplet."""
     import jax.numpy as jnp
     from ugaitnet_tpu.ops import losses as L
     from ugaitnet_tpu.ops.triplet import make_triplet_loss
-    from ugaitnet_tpu.train.train_step import Batch, TrainState
+    from ugaitnet_tpu.train.train_step import Batch
 
-    tcfg = _xla_triplet(tcfg)
     triplet_fn = make_triplet_loss(tcfg.triplet_kind, tcfg.margin)
-    axis = DATA_AXIS
 
     def local_loss(params, batch: Batch, key):
         out = model.apply(params, list(batch.volumes),
@@ -176,6 +164,30 @@ def make_shardmap_train_step(model, tx, mcfg, tcfg, mesh: Mesh):
         total = total + reg
         metrics["loss"] = total
         return total, metrics
+
+    return local_loss
+
+
+def make_shardmap_train_step(model, tx, mcfg, tcfg, mesh: Mesh):
+    """Explicit-collectives data-parallel step (shard_map).
+
+    The GSPMD step above gives global-batch semantics (identical to single
+    device). This variant spells the collectives out, SURVEY.md §2.5 style:
+    per-shard forward + make_local_loss's all_gather mining, then `pmean`
+    of gradients (the NCCL-all-reduce analogue).
+
+    Semantics note: with ModelConfig.l2_mode="reference" the signature
+    normalizes over the LOCAL batch axis here — exactly what the reference's
+    MirroredStrategy replicas did — whereas the GSPMD step normalizes over
+    the global batch (single-device semantics). With l2_mode="feature" the
+    two are numerically identical (tested).
+    """
+    import optax
+    from ugaitnet_tpu.train.train_step import Batch, TrainState
+
+    tcfg = _xla_triplet(tcfg)
+    axis = DATA_AXIS
+    local_loss = make_local_loss(model, mcfg, tcfg, axis)
 
     def sharded_step(state: TrainState, batch: Batch, key: jax.Array):
         def per_shard(params, opt_state, step, batch):

@@ -94,9 +94,14 @@ class Trainer:
         self.tx = make_optimizer(tcfg)
         self.mesh = mesh
         self._tp = mesh is not None and "model" in mesh.axis_names
+        self._sp = mesh is not None and "seq" in mesh.axis_names
         if self._tp:
             from ugaitnet_tpu.parallel.tensor import make_tp_train_step
             self.step_fn = make_tp_train_step(
+                self.model, self.tx, mcfg, tcfg, mesh)
+        elif self._sp:
+            from ugaitnet_tpu.parallel.sequence import make_sp_train_step
+            self.step_fn = make_sp_train_step(
                 self.model, self.tx, mcfg, tcfg, mesh)
         elif mesh is not None:
             from ugaitnet_tpu.parallel.sharding import make_sharded_train_step
@@ -183,7 +188,13 @@ class Trainer:
         hist = []
         for bix, (vols, flags, labels) in enumerate(loader):
             batch = Batch(tuple(vols), tuple(flags), labels)
-            if self.mesh is not None:
+            if self._sp:
+                # (data, seq) placement incl. the pad-to-divisible frame
+                # repeat — plain shard_batch would feed an unpadded T the
+                # shard_map specs reject
+                from ugaitnet_tpu.parallel.sequence import shard_batch_sp
+                batch = shard_batch_sp(batch, self.mesh)
+            elif self.mesh is not None:
                 from ugaitnet_tpu.parallel.sharding import shard_batch
                 batch = shard_batch(batch, self.mesh)
             state, metrics = self.step_fn(state, batch,
