@@ -96,6 +96,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "frame convs run on T/sp frames per device, set "
                         "pools close over ICI (parallel/sequence.py); "
                         "0 = off, exclusive with --tp")
+    p.add_argument("--pp", type=int, default=0,
+                   help="pipeline (branch-placement) parallel devices: "
+                        "branch trunk i runs on device i, the head stage "
+                        "and optimizer on device 0, activations move "
+                        "point-to-point (parallel/pipeline.py); 0 = off, "
+                        "exclusive with the mesh modes")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize branch activations in backward "
                         "(jax.checkpoint): ~1/3 extra conv FLOPs for a "
@@ -165,7 +171,8 @@ def configs_from_args(args):
         use_focal=args.focal, only_triplet=args.onlytriplet,
         triplet_kind=args.tripletkind,
         save_every_epochs=args.savemodelfreq, seed=args.seed,
-        dp_devices=args.ndevices, tp_devices=args.tp, sp_devices=args.sp)
+        dp_devices=args.ndevices, tp_devices=args.tp, sp_devices=args.sp,
+        pp_devices=args.pp)
     return mcfg, dcfg, tcfg
 
 
@@ -205,7 +212,13 @@ def main(argv=None):
     if tcfg.tp_devices and tcfg.sp_devices:
         raise SystemExit("--tp and --sp are exclusive (one 2D mesh each); "
                          "pick the sharding that relieves your bottleneck")
-    if tcfg.tp_devices:
+    if tcfg.pp_devices and (tcfg.tp_devices or tcfg.sp_devices
+                            or tcfg.dp_devices):
+        raise SystemExit("--pp is exclusive with --ndevices/--tp/--sp "
+                         "(branch placement orchestrates devices itself)")
+    if tcfg.pp_devices:
+        pass  # no mesh — Trainer builds the pipeline step from pp_devices
+    elif tcfg.tp_devices:
         # 2D (data, model) mesh: --ndevices x --tp (dp defaults to 1)
         from ugaitnet_tpu.parallel.tensor import make_mesh2d
         mesh = make_mesh2d(max(1, tcfg.dp_devices), tcfg.tp_devices)

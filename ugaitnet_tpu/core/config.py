@@ -210,6 +210,10 @@ class TrainConfig:
     # sharding the gait set (time) axis (parallel/sequence.py).  Mutually
     # exclusive with tp_devices.
     sp_devices: int = 0
+    # Pipeline (branch-placement) parallel device count; >0 places branch
+    # trunk i on device i and the head stage + optimizer on device 0
+    # (parallel/pipeline.py).  Mutually exclusive with the mesh modes.
+    pp_devices: int = 0
 
 
 @dataclass(frozen=True)

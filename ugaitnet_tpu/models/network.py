@@ -73,6 +73,97 @@ def make_branch(cfg: BranchConfig, dtype, name: str,
     raise ValueError(f"unknown branch kind: {cfg.kind}")
 
 
+def branch_input(bcfg: BranchConfig, volume: jax.Array) -> jax.Array:
+    """Per-branch input adaptation (shared with parallel/pipeline.py's
+    stage functions so the two forwards cannot drift)."""
+    if bcfg.kind == "conv2d":
+        # 2D branch consumes the (H, W, T*C) plane volume.
+        return jnp.moveaxis(frames_to_planes(volume), -3, -1)
+    return volume
+
+
+def _head_forward(cfg: ModelConfig, embeddings: Sequence[jax.Array],
+                  use_flags: Sequence[jax.Array],
+                  train: bool) -> Dict[str, jax.Array]:
+    """Everything after the branches: gating, merge, signature, extra
+    dense, classification + aux heads.  Plain function so it binds
+    submodules to whatever compact scope calls it — UGaitNet below (the
+    single-program net) and UGaitHead (the pipeline-parallel head stage)
+    produce IDENTICAL param subtrees and rng paths from this one body.
+    """
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    batch = embeddings[0].shape[0]
+
+    gated = []
+    for e, u, bcfg in zip(embeddings, use_flags, cfg.branches):
+        if bcfg.kind == "gaitset" and bcfg.flatten_output:
+            # BothDatasets variant: per-sample flatten + L2
+            # (mj_uwyhNets_bothDatasets.py:395-399)
+            e = F.l2_normalize(e.reshape(e.shape[0], -1), axis=-1)
+        if cfg.norm_before_merge:
+            e = F.l2_normalize(e, axis=-1)
+        gated.append(F.gate(e, u))
+
+    if cfg.multimodal:
+        fused = F.MERGES[cfg.merge](gated)
+        sig = F.signature(fused, l2_mode=cfg.l2_mode)
+    else:
+        # reference quirk parity: the single-modality nets emit the raw
+        # branch output as the signature with NO L2 normalization
+        # (mj_uwyhNets_ba.py:890-907 — the comment says normalize, the
+        # code doesn't).
+        fused = gated[0]
+        sig = fused
+
+    out: Dict[str, jax.Array] = {"branches": gated}
+    head_in = sig
+    if cfg.extra_dense:
+        act = _act(cfg.branches[0].activation,
+                   cfg.branches[0].leaky_alpha)
+        if cfg.postriplet == 2:
+            # Dense BEFORE the triplet tap; L2-normed output is "code".
+            x = act(nn.Dense(cfg.extra_dense[0], kernel_init=glorot,
+                             dtype=dtype, name="extra_dense")(fused))
+            code = F.l2_normalize(x, axis=-1)
+            out["code"] = code
+            sig = code
+            head_in = nn.Dropout(cfg.dropout_code,
+                                 deterministic=not train,
+                                 name="dropcode")(x)
+        else:
+            x = act(nn.Dense(cfg.extra_dense[0], kernel_init=glorot,
+                             dtype=dtype, name="extra_dense")(sig))
+            out["code"] = x
+            head_in = nn.Dropout(cfg.dropout_code,
+                                 deterministic=not train,
+                                 name="dropcode")(x)
+
+    out["signature"] = sig
+    flat = head_in.reshape(batch, -1)
+    # the reference's Flatten layer (the typecode-3 tap) sits on the
+    # dropcode output when extra_dense is set, not on the signature
+    # (mj_uwyhNets_ba.py: Flatten feeds classprob from the dropout)
+    out["flatten"] = flat
+
+    if cfg.nclasses > 0:
+        logits = nn.Dense(cfg.nclasses, kernel_init=glorot, dtype=dtype,
+                          name="classprob")(flat)
+        logits = logits.astype(jnp.float32)
+        out["classprob_logits"] = logits
+        out["classprob"] = nn.softmax(logits)
+        if cfg.aux_losses:
+            aux_logits = []
+            for i, g in enumerate(gated):
+                gi = g.reshape(batch, -1)
+                al = nn.Dense(cfg.nclasses, kernel_init=glorot,
+                              dtype=dtype,
+                              name=f"classprob_{cfg.branches[i].modality}"
+                              )(gi).astype(jnp.float32)
+                aux_logits.append(al)
+            out["aux_logits"] = aux_logits
+    return out
+
+
 class UGaitNet(nn.Module):
     config: ModelConfig
 
@@ -93,81 +184,27 @@ class UGaitNet(nn.Module):
         for i, bcfg in enumerate(cfg.branches):
             branch = make_branch(bcfg, dtype, name=f"branch_{bcfg.modality}",
                                  remat=cfg.remat, seq_axis=cfg.seq_axis)
-            x = volumes[i]
-            if bcfg.kind == "conv2d":
-                # 2D branch consumes the (H, W, T*C) plane volume.
-                x = jnp.moveaxis(frames_to_planes(x), -3, -1)
+            x = branch_input(bcfg, volumes[i])
             e = branch(x, train)  # positional: remat's static_argnums=(2,)
-            if bcfg.kind == "gaitset" and bcfg.flatten_output:
-                # BothDatasets variant: per-sample flatten + L2
-                # (mj_uwyhNets_bothDatasets.py:395-399)
-                e = F.l2_normalize(e.reshape(e.shape[0], -1), axis=-1)
             embeddings.append(e)
 
-        gated = []
-        for e, u in zip(embeddings, use_flags):
-            if cfg.norm_before_merge:
-                e = F.l2_normalize(e, axis=-1)
-            gated.append(F.gate(e, u))
+        return _head_forward(cfg, embeddings, use_flags, train)
 
-        if cfg.multimodal:
-            fused = F.MERGES[cfg.merge](gated)
-            sig = F.signature(fused, l2_mode=cfg.l2_mode)
-        else:
-            # reference quirk parity: the single-modality nets emit the raw
-            # branch output as the signature with NO L2 normalization
-            # (mj_uwyhNets_ba.py:890-907 — the comment says normalize, the
-            # code doesn't).
-            fused = gated[0]
-            sig = fused
 
-        out: Dict[str, jax.Array] = {"branches": gated}
-        head_in = sig
-        if cfg.extra_dense:
-            act = _act(cfg.branches[0].activation,
-                       cfg.branches[0].leaky_alpha)
-            if cfg.postriplet == 2:
-                # Dense BEFORE the triplet tap; L2-normed output is "code".
-                x = act(nn.Dense(cfg.extra_dense[0], kernel_init=glorot,
-                                 dtype=dtype, name="extra_dense")(fused))
-                code = F.l2_normalize(x, axis=-1)
-                out["code"] = code
-                sig = code
-                head_in = nn.Dropout(cfg.dropout_code,
-                                     deterministic=not train,
-                                     name="dropcode")(x)
-            else:
-                x = act(nn.Dense(cfg.extra_dense[0], kernel_init=glorot,
-                                 dtype=dtype, name="extra_dense")(sig))
-                out["code"] = x
-                head_in = nn.Dropout(cfg.dropout_code,
-                                     deterministic=not train,
-                                     name="dropcode")(x)
+class UGaitHead(nn.Module):
+    """The post-branch stage as a standalone module (pipeline parallelism,
+    parallel/pipeline.py): applied to raw branch embeddings, its param
+    tree and dropout-rng paths are IDENTICAL to the corresponding
+    top-level subtrees of a UGaitNet (both call _head_forward in their own
+    root scope), so one checkpoint serves both execution modes —
+    tests/test_pipeline.py pins the equivalence."""
+    config: ModelConfig
 
-        out["signature"] = sig
-        flat = head_in.reshape(batch, -1)
-        # the reference's Flatten layer (the typecode-3 tap) sits on the
-        # dropcode output when extra_dense is set, not on the signature
-        # (mj_uwyhNets_ba.py: Flatten feeds classprob from the dropout)
-        out["flatten"] = flat
-
-        if cfg.nclasses > 0:
-            logits = nn.Dense(cfg.nclasses, kernel_init=glorot, dtype=dtype,
-                              name="classprob")(flat)
-            logits = logits.astype(jnp.float32)
-            out["classprob_logits"] = logits
-            out["classprob"] = nn.softmax(logits)
-            if cfg.aux_losses:
-                aux_logits = []
-                for i, g in enumerate(gated):
-                    gi = g.reshape(batch, -1)
-                    al = nn.Dense(cfg.nclasses, kernel_init=glorot,
-                                  dtype=dtype,
-                                  name=f"classprob_{cfg.branches[i].modality}"
-                                  )(gi).astype(jnp.float32)
-                    aux_logits.append(al)
-                out["aux_logits"] = aux_logits
-        return out
+    @nn.compact
+    def __call__(self, embeddings: Sequence[jax.Array],
+                 use_flags: Sequence[jax.Array],
+                 train: bool = False) -> Dict[str, jax.Array]:
+        return _head_forward(self.config, embeddings, use_flags, train)
 
 
 def init_params(model: UGaitNet, rng: jax.Array, batch: int = 2):

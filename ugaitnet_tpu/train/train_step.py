@@ -113,6 +113,16 @@ def compute_losses(model: UGaitNet, params, batch: Batch, key,
     out = model.apply(params, list(batch.volumes), list(batch.use_flags),
                       train=train,
                       rngs={"dropout": key} if train else None)
+    return losses_from_outputs(out, params, batch, mcfg, tcfg)
+
+
+def losses_from_outputs(out: Dict[str, jax.Array], params, batch: Batch,
+                        mcfg: ModelConfig, tcfg: TrainConfig
+                        ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Loss assembly from forward outputs — shared by compute_losses and
+    the pipeline-parallel head stage (parallel/pipeline.py), so the
+    objective cannot drift between execution modes.  `params` is only
+    read for the explicit L2 regularization terms."""
     triplet_fn = make_triplet_loss(tcfg.triplet_kind, tcfg.margin)
 
     lw = list(tcfg.loss_weights)

@@ -95,7 +95,16 @@ class Trainer:
         self.mesh = mesh
         self._tp = mesh is not None and "model" in mesh.axis_names
         self._sp = mesh is not None and "seq" in mesh.axis_names
-        if self._tp:
+        if tcfg.pp_devices:
+            # branch placement: no mesh — the step orchestrates per-device
+            # dispatch itself (parallel/pipeline.py)
+            if mesh is not None:
+                raise ValueError("pp_devices is exclusive with mesh modes")
+            from ugaitnet_tpu.parallel.pipeline import make_pipeline_train_step
+            self.step_fn = make_pipeline_train_step(
+                self.model, self.tx, mcfg, tcfg,
+                devices=jax.devices()[:tcfg.pp_devices])
+        elif self._tp:
             from ugaitnet_tpu.parallel.tensor import make_tp_train_step
             self.step_fn = make_tp_train_step(
                 self.model, self.tx, mcfg, tcfg, mesh)
