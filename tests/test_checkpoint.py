@@ -78,3 +78,58 @@ def test_merge_matching_namedtuple_opt_state():
     assert type(merged[0]).__name__ == type(st[0]).__name__
     for a, b in zip(jax.tree.leaves(merged), jax.tree.leaves(st)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b) + 1.0)
+
+
+def test_async_writer_roundtrip_and_overlap(tmp_path):
+    """AsyncCheckpointWriter: values captured at save() time are what lands
+    on disk (the caller may mutate/donate device buffers immediately), and
+    back-to-back saves to different steps both become durable."""
+    model = UGaitNet(_mcfg(4))
+    tx = make_optimizer(TrainConfig())
+    state = init_state(model, tx, jax.random.PRNGKey(0))
+    state2 = init_state(model, tx, jax.random.PRNGKey(5))
+    with ckpt.AsyncCheckpointWriter() as w:
+        w.save(str(tmp_path), 1, state)
+        w.save(str(tmp_path), 2, state2)   # overlapping save
+        w.save(str(tmp_path), "best", state2)
+        w.wait()
+        assert ckpt.latest_checkpoint_step(str(tmp_path)) == 2
+        assert ckpt.has_best_checkpoint(str(tmp_path))
+        blank = init_state(model, tx, jax.random.PRNGKey(99))
+        r1 = ckpt.restore_checkpoint(str(tmp_path), 1, blank)
+        r2 = ckpt.restore_checkpoint(str(tmp_path), 2, blank)
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(r1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state2), jax.tree.leaves(r2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_async_checkpoint_and_resume(tmp_path):
+    """Trainer(async_checkpoint=True): checkpoints are durable when fit()
+    returns, and a fresh Trainer resumes from them."""
+    import dataclasses
+
+    from ugaitnet_tpu.core.config import DataConfig
+    from ugaitnet_tpu.data.synthetic import make_synthetic_dataset
+    from ugaitnet_tpu.train.trainer import Trainer
+
+    ds = make_synthetic_dataset(num_subjects=4, videos_per_subject=2,
+                                subseqs_per_video=2, seed=0)
+    mcfg = ModelConfig(
+        branches=(BranchConfig(kind="gaitset", modality="gray",
+                               gaitset_channels=(4, 4, 8), part_dim=8),),
+        nclasses=4)
+    dcfg = DataConfig(batch_size=8, expand_level=1, augment=False,
+                      repetitions=1)
+    tcfg = TrainConfig(lr=3e-4, epochs=1, save_every_epochs=1,
+                       loss_weights=(1.0, 0.1), async_checkpoint=True)
+    tr = Trainer(mcfg, dcfg, tcfg, str(tmp_path / "exp"))
+    tr.fit(ds, val_perc=0.0, seed=0)
+    assert ckpt.latest_checkpoint_step(str(tmp_path / "exp")) == 1
+    # resume: a second trainer picks the checkpoint up and continues
+    tcfg2 = dataclasses.replace(tcfg, epochs=2)
+    tr2 = Trainer(mcfg, dcfg, tcfg2, str(tmp_path / "exp"))
+    _, start = tr2.init_or_resume(seed=0)
+    assert start == 1
+    tr2.fit(ds, val_perc=0.0, seed=0)
+    assert ckpt.latest_checkpoint_step(str(tmp_path / "exp")) == 2

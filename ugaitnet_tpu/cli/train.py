@@ -102,6 +102,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "and optimizer on device 0, activations move "
                         "point-to-point (parallel/pipeline.py); 0 = off, "
                         "exclusive with the mesh modes")
+    p.add_argument("--asyncckpt", action="store_true",
+                   help="write checkpoints on orbax's background thread "
+                        "(training never blocks on serialization/disk)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize branch activations in backward "
                         "(jax.checkpoint): ~1/3 extra conv FLOPs for a "
@@ -172,7 +175,7 @@ def configs_from_args(args):
         triplet_kind=args.tripletkind,
         save_every_epochs=args.savemodelfreq, seed=args.seed,
         dp_devices=args.ndevices, tp_devices=args.tp, sp_devices=args.sp,
-        pp_devices=args.pp)
+        pp_devices=args.pp, async_checkpoint=args.asyncckpt)
     return mcfg, dcfg, tcfg
 
 

@@ -43,6 +43,44 @@ def save_checkpoint(experdir: str, step, state: Any) -> str:
     return path
 
 
+class AsyncCheckpointWriter:
+    """Non-blocking checkpoint saves (beyond reference — the reference's
+    Keras ModelCheckpoint serializes h5 inline on the training thread).
+
+    save() fetches the state to host (synchronous — the values must be
+    read before training mutates the donated buffers) and hands the
+    serialization + disk write to orbax's background thread, so the train
+    loop resumes immediately.  Orbax itself serializes overlapping saves:
+    a save() issued while the previous one is still writing blocks until
+    it finishes — per-chunk cadences never interleave directories.
+
+    wait() must run before reading a just-written checkpoint and before
+    process exit (close() does both); Trainer calls it at fit() exit and
+    the context-manager form covers scripts.
+    """
+
+    def __init__(self):
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+
+    def save(self, experdir: str, step, state: Any) -> str:
+        path = os.path.join(_ckpt_root(experdir), _step_dir(step))
+        self._ckptr.save(path, args=ocp.args.StandardSave(
+            jax.device_get(state)), force=True)
+        return path
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
+
+    def close(self) -> None:
+        self._ckptr.close()  # waits, then releases the thread
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def has_best_checkpoint(experdir: str) -> bool:
     return os.path.isdir(os.path.join(_ckpt_root(experdir), "best"))
 

@@ -214,6 +214,10 @@ class TrainConfig:
     # trunk i on device i and the head stage + optimizer on device 0
     # (parallel/pipeline.py).  Mutually exclusive with the mesh modes.
     pp_devices: int = 0
+    # Write checkpoints on orbax's background thread so the train loop
+    # never blocks on serialization/disk (core/checkpoint.py
+    # AsyncCheckpointWriter).
+    async_checkpoint: bool = False
 
 
 @dataclass(frozen=True)

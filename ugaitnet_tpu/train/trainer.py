@@ -128,6 +128,14 @@ class Trainer:
         self.eval_step = make_eval_step(self.model, mcfg, eval_tcfg)
         self.logger = MetricsLogger(experdir, use_tensorboard)
         self.modalities = tuple(b.modality for b in mcfg.branches)
+        self._ckpt_writer = (ckpt.AsyncCheckpointWriter()
+                             if tcfg.async_checkpoint else None)
+
+    def _save_ckpt(self, step, state: TrainState) -> None:
+        if self._ckpt_writer is not None:
+            self._ckpt_writer.save(self.experdir, step, state)
+        else:
+            ckpt.save_checkpoint(self.experdir, step, state)
 
     # ------------------------------------------------------------------
     def _controller_path(self) -> str:
@@ -298,6 +306,17 @@ class Trainer:
     # ------------------------------------------------------------------
     def fit(self, ds: GaitDataset, val_perc: float = 0.08,
             seed: int = 0) -> TrainState:
+        try:
+            return self._fit(ds, val_perc=val_perc, seed=seed)
+        finally:
+            # async saves must be durable before fit returns (callers
+            # evaluate/export the checkpoint next) and before exceptions
+            # propagate (a divergence abort still keeps its last chunk)
+            if self._ckpt_writer is not None:
+                self._ckpt_writer.wait()
+
+    def _fit(self, ds: GaitDataset, val_perc: float,
+             seed: int) -> TrainState:
         tcfg, dcfg = self.tcfg, self.dcfg
         tr_idx, val_idx = split_train_val_by_video(ds.video_ids,
                                                    perc=val_perc, seed=seed)
@@ -345,7 +364,7 @@ class Trainer:
             m["lr"] = get_lr(state)
             self.logger.log(epoch, m, prefix="train/")
             if epoch % tcfg.save_every_epochs == 0 or epoch == tcfg.epochs:
-                ckpt.save_checkpoint(self.experdir, epoch, state)
+                self._save_ckpt(epoch, state)
                 # plateau monitors val loss like the reference's
                 # ReduceLROnPlateau(monitor='val_loss') — train loss is the
                 # fallback only when there is no validation split
@@ -357,7 +376,7 @@ class Trainer:
                     monitored = vm.get("loss", monitored)
                 if monitored < best_monitor:
                     best_monitor = monitored
-                    ckpt.save_checkpoint(self.experdir, "best", state)
+                    self._save_ckpt("best", state)
                 new_lr = plateau.update(monitored)
                 if not np.isclose(new_lr, get_lr(state), rtol=1e-5):
                     state = set_lr(state, new_lr)
@@ -371,7 +390,7 @@ class Trainer:
                                             early_stopped=True)
                 break
 
-        ckpt.save_checkpoint(self.experdir, epoch, state)
+        self._save_ckpt(epoch, state)
 
         # ---- extra fine-tune on train+val with the new_lr heuristic ----
         if tcfg.extra_epochs > 0 and len(val_idx) > 0:
@@ -401,6 +420,6 @@ class Trainer:
                 self.logger.log(epoch, m, prefix="finetune/")
                 if (epoch % tcfg.save_every_epochs == 0
                         or epoch == target):
-                    ckpt.save_checkpoint(self.experdir, epoch, state)
+                    self._save_ckpt(epoch, state)
 
         return state
