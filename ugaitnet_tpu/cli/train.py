@@ -102,6 +102,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "and optimizer on device 0, activations move "
                         "point-to-point (parallel/pipeline.py); 0 = off, "
                         "exclusive with the mesh modes")
+    p.add_argument("--ep", type=int, default=0,
+                   help="expert-parallel devices: builds a (ndevices x ep) "
+                        "2D mesh sharding the MoE expert axis "
+                        "(parallel/expert.py); requires --moe, 0 = off, "
+                        "exclusive with --tp/--sp/--pp")
     p.add_argument("--asyncckpt", action="store_true",
                    help="write checkpoints on orbax's background thread "
                         "(training never blocks on serialization/disk)")
@@ -131,6 +136,14 @@ def build_parser() -> argparse.ArgumentParser:
                         " smaller for smoke runs / sweeps)")
     p.add_argument("--gspartdim", type=int, default=0,
                    help="gaitset per-part projection dim (default 256)")
+    p.add_argument("--moe", type=int, default=0,
+                   help="MoE part projection with this many experts "
+                        "(beyond reference, ops/moe.py): a learned top-1 "
+                        "router over (batch, part) tokens replaces the "
+                        "fixed per-part MatMul; 0 = off")
+    p.add_argument("--moecap", type=float, default=1.25,
+                   help="MoE expert capacity factor (tokens past "
+                        "capacity*N/E per expert are dropped)")
     return p
 
 
@@ -150,6 +163,12 @@ def configs_from_args(args):
             int(x) for x in args.gschannels.replace(",", " ").split())
     if args.gspartdim:
         extra["part_dim"] = args.gspartdim
+    if args.moe:
+        if kind != "gaitset":
+            raise SystemExit("--moe requires gaitset branches (the MoE "
+                             "head replaces the per-part projection)")
+        extra["moe_experts"] = args.moe
+        extra["moe_capacity_factor"] = args.moecap
     branches = tuple(
         BranchConfig(kind=kind, modality=m, dropout=args.dropout, **extra)
         for m in mods)
@@ -175,7 +194,8 @@ def configs_from_args(args):
         triplet_kind=args.tripletkind,
         save_every_epochs=args.savemodelfreq, seed=args.seed,
         dp_devices=args.ndevices, tp_devices=args.tp, sp_devices=args.sp,
-        pp_devices=args.pp, async_checkpoint=args.asyncckpt)
+        pp_devices=args.pp, ep_devices=args.ep,
+        async_checkpoint=args.asyncckpt)
     return mcfg, dcfg, tcfg
 
 
@@ -212,15 +232,23 @@ def main(argv=None):
     print(f"* experiment dir: {experdir}", flush=True)
 
     mesh = None
-    if tcfg.tp_devices and tcfg.sp_devices:
-        raise SystemExit("--tp and --sp are exclusive (one 2D mesh each); "
+    if sum(1 for d in (tcfg.tp_devices, tcfg.sp_devices,
+                       tcfg.ep_devices) if d) > 1:
+        raise SystemExit("--tp/--sp/--ep are exclusive (one 2D mesh each); "
                          "pick the sharding that relieves your bottleneck")
     if tcfg.pp_devices and (tcfg.tp_devices or tcfg.sp_devices
-                            or tcfg.dp_devices):
-        raise SystemExit("--pp is exclusive with --ndevices/--tp/--sp "
+                            or tcfg.ep_devices or tcfg.dp_devices):
+        raise SystemExit("--pp is exclusive with --ndevices/--tp/--sp/--ep "
                          "(branch placement orchestrates devices itself)")
+    if tcfg.ep_devices and not mcfg.has_moe:
+        raise SystemExit("--ep requires --moe (there is no expert axis "
+                         "to shard otherwise)")
     if tcfg.pp_devices:
         pass  # no mesh — Trainer builds the pipeline step from pp_devices
+    elif tcfg.ep_devices:
+        # 2D (data, expert) mesh: --ndevices x --ep (dp defaults to 1)
+        from ugaitnet_tpu.parallel.expert import make_mesh_dpep
+        mesh = make_mesh_dpep(max(1, tcfg.dp_devices), tcfg.ep_devices)
     elif tcfg.tp_devices:
         # 2D (data, model) mesh: --ndevices x --tp (dp defaults to 1)
         from ugaitnet_tpu.parallel.tensor import make_mesh2d

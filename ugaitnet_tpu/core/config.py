@@ -65,6 +65,14 @@ class BranchConfig:
     # L2-normalize, emitting a rank-2 embedding
     # (/root/reference/nets/mj_uwyhNets_bothDatasets.py:395-399, norm=True).
     flatten_output: bool = False
+    # Mixture-of-experts part projection (beyond reference, ops/moe.py):
+    # 0 = the reference's fixed per-part MatMul; E > 0 replaces it with E
+    # shared expert matrices and a learned top-1 router over (batch, part)
+    # tokens.  Trains with a Switch load-balance aux loss
+    # (TrainConfig.moe_aux_weight) and shards the expert axis under
+    # expert parallelism (parallel/expert.py).
+    moe_experts: int = 0
+    moe_capacity_factor: float = 1.25
 
     @property
     def in_channels(self) -> int:
@@ -127,6 +135,13 @@ class ModelConfig:
     @property
     def multimodal(self) -> bool:
         return len(self.branches) > 1
+
+    @property
+    def has_moe(self) -> bool:
+        """Any branch routes its part projection through MoE experts —
+        the train step then collects the sown load-balance aux losses
+        (train/train_step.py:compute_losses)."""
+        return any(b.moe_experts > 0 for b in self.branches)
 
     @property
     def signature_parts(self) -> int:
@@ -214,6 +229,13 @@ class TrainConfig:
     # trunk i on device i and the head stage + optimizer on device 0
     # (parallel/pipeline.py).  Mutually exclusive with the mesh modes.
     pp_devices: int = 0
+    # Expert-parallel axis size; >0 builds a (max(1,dp) x ep) 2D mesh with
+    # the MoE expert axis sharded (parallel/expert.py).  Requires a model
+    # with BranchConfig.moe_experts > 0; mutually exclusive with tp/sp/pp.
+    ep_devices: int = 0
+    # Weight of the Switch load-balance auxiliary loss when any branch
+    # uses an MoE part projection (ops/moe.py).
+    moe_aux_weight: float = 0.01
     # Write checkpoints on orbax's background thread so the train loop
     # never blocks on serialization/disk (core/checkpoint.py
     # AsyncCheckpointWriter).

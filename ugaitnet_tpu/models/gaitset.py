@@ -115,6 +115,12 @@ class GaitSetBranch(nn.Module):
     # sequence-parallel axis: set pools close over this shard_map axis
     # (ModelConfig.seq_axis -> parallel/sequence.py); "" = single program
     seq_axis: str = ""
+    # MoE part projection (beyond reference, ops/moe.py): E > 0 swaps the
+    # fixed per-part MatMul for E shared experts + a learned top-1 router
+    # over (batch, part) tokens; the Switch load-balance loss is sown into
+    # the "moe" collection (collected by train_step.compute_losses).
+    moe_experts: int = 0
+    moe_capacity_factor: float = 1.25
 
     def _conv(self, f: int, k: int, name: str):
         return FrameConv(f, k, dtype=self.dtype, name=name)
@@ -184,6 +190,28 @@ class GaitSetBranch(nn.Module):
             feats.append(_hpp(sa, nb))
             feats.append(_hpp(sb, nb))
         parts = jnp.concatenate(feats, axis=1)                  # (B, 62, c3)
+
+        if self.moe_experts > 0:
+            # --- MoE part projection: (batch, part) tokens route top-1
+            # over E shared expert matrices (ops/moe.py).  Static capacity
+            # keeps every shape trace-time constant; under expert
+            # parallelism the E axis is mesh-sharded (parallel/expert.py).
+            from ugaitnet_tpu.ops.moe import moe_capacity, moe_project
+            p, cdim = parts.shape[1], parts.shape[2]
+            cap = moe_capacity(b * p, self.moe_experts,
+                               self.moe_capacity_factor)
+            router_w = self.param("router", glorot,
+                                  (cdim, self.moe_experts), jnp.float32)
+            expert_w = self.param(
+                "expert_proj", glorot,
+                (self.moe_experts, cdim, self.part_dim), jnp.float32)
+            out, aux, _ = moe_project(
+                parts.reshape(b * p, cdim), router_w,
+                expert_w.astype(self.dtype), cap)
+            if not self.is_initializing():
+                # no-op unless the caller passes mutable=["moe"]
+                self.sow("moe", "aux", aux)
+            return out.reshape(b, p, self.part_dim).astype(jnp.float32)
 
         # --- per-part projection: one einsum over all parts (MatMul parity).
         kernel = self.param(

@@ -50,7 +50,8 @@ def make_branch(cfg: BranchConfig, dtype, name: str,
             channels=cfg.gaitset_channels,
             hpp_bins=cfg.hpp_bins, part_dim=cfg.part_dim,
             leaky_alpha=cfg.leaky_alpha, dtype=dtype, name=name,
-            seq_axis=seq_axis)
+            seq_axis=seq_axis, moe_experts=cfg.moe_experts,
+            moe_capacity_factor=cfg.moe_capacity_factor)
     if seq_axis:
         # conv2d consumes the T*C plane stack densely and conv3d convolves
         # across time — neither is frame-separable, so a T-sharded volume

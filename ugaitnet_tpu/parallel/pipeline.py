@@ -75,6 +75,11 @@ def make_pipeline_train_step(model, tx, mcfg, tcfg,
                 "pipeline parallelism cannot reproduce in-branch dropout "
                 "streams (flax folds rngs per module path); set the "
                 "conv2d branch dropout to 0 or train another way")
+        if b.moe_experts > 0:
+            raise ValueError(
+                "pipeline parallelism does not collect the MoE "
+                "load-balance aux loss from the trunk stages; train MoE "
+                "models with the mesh steps (dp / parallel/expert.py)")
     tcfg = _xla_triplet(tcfg)  # Mosaic custom calls stay single-device
     devs = list(devices if devices is not None else jax.devices())
     if len(devs) < 2:

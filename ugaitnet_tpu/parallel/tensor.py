@@ -114,14 +114,17 @@ def place_tp_state(state: Any, mesh: Mesh) -> Any:
     return jax.device_put(state, state_shardings(state, mesh))
 
 
-def make_tp_train_step(model, tx, mcfg, tcfg, mesh: Mesh):
-    """Jitted train step over the ("data", "model") mesh.
+def make_placed_train_step(model, tx, mcfg, tcfg, mesh: Mesh,
+                           state_shardings_fn):
+    """Jitted train step over a 2D mesh with GSPMD-placed state.
 
-    Same numerics as the single-device step (GSPMD partitions one traced
-    program); state arrives via place_tp_state, batch via shard_batch
-    (axis 0 over the data axis only — every device in a model column sees
-    the same rows). Out-shardings pin the updated state to the same layout
-    so donation reuses the buffers."""
+    Shared by the tensor-parallel (this module) and expert-parallel
+    (parallel/expert.py) modes — the two differ only in the placement rule
+    `state_shardings_fn(state, mesh)`.  Same numerics as the single-device
+    step (GSPMD partitions one traced program); batch arrives via
+    shard_batch (axis 0 over the data axis only — every device in a model
+    column sees the same rows).  Out-shardings pin the updated state to
+    the same layout so donation reuses the buffers."""
     from ugaitnet_tpu.train.train_step import TrainState, compute_losses
     import optax
 
@@ -146,13 +149,20 @@ def make_tp_train_step(model, tx, mcfg, tcfg, mesh: Mesh):
 
     def jitted(state: TrainState, batch, key):
         if "fn" not in _jit:
-            st_shard = state_shardings(state, mesh)
+            st_shard = state_shardings_fn(state, mesh)
             rep = NamedSharding(mesh, P())
             _jit["fn"] = jax.jit(step, donate_argnums=(0,),
                                  out_shardings=(st_shard, rep))
         return _jit["fn"](state, batch, key)
 
     return jitted
+
+
+def make_tp_train_step(model, tx, mcfg, tcfg, mesh: Mesh):
+    """Jitted train step over the ("data", "model") mesh; state arrives
+    via place_tp_state."""
+    return make_placed_train_step(model, tx, mcfg, tcfg, mesh,
+                                  state_shardings)
 
 
 def shard_count(x: jax.Array) -> int:

@@ -110,14 +110,28 @@ class Batch(NamedTuple):
 def compute_losses(model: UGaitNet, params, batch: Batch, key,
                    mcfg: ModelConfig, tcfg: TrainConfig, train: bool = True
                    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    rngs = {"dropout": key} if train else None
+    if mcfg.has_moe:
+        # MoE branches sow their Switch load-balance terms into the "moe"
+        # collection (models/gaitset.py); apply with it mutable to collect
+        # them.  The sown values are functions of params, so the aux loss
+        # back-propagates into the router/experts as usual.
+        out, mvars = model.apply(
+            params, list(batch.volumes), list(batch.use_flags),
+            train=train, rngs=rngs, mutable=["moe"])
+        moe_aux = jnp.float32(0.0)
+        for v in jax.tree_util.tree_leaves(mvars.get("moe", {})):
+            moe_aux += jnp.sum(v)
+        return losses_from_outputs(out, params, batch, mcfg, tcfg,
+                                   moe_aux=moe_aux)
     out = model.apply(params, list(batch.volumes), list(batch.use_flags),
-                      train=train,
-                      rngs={"dropout": key} if train else None)
+                      train=train, rngs=rngs)
     return losses_from_outputs(out, params, batch, mcfg, tcfg)
 
 
 def losses_from_outputs(out: Dict[str, jax.Array], params, batch: Batch,
-                        mcfg: ModelConfig, tcfg: TrainConfig
+                        mcfg: ModelConfig, tcfg: TrainConfig,
+                        moe_aux=None
                         ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Loss assembly from forward outputs — shared by compute_losses and
     the pipeline-parallel head stage (parallel/pipeline.py), so the
@@ -154,6 +168,10 @@ def losses_from_outputs(out: Dict[str, jax.Array], params, batch: Batch,
                     al, onehot, tcfg.label_smoothing)
                 metrics[f"aux_ce_{i}"] = l_aux
                 total += lw[2 + i] * l_aux
+
+    if moe_aux is not None:
+        metrics["moe_aux"] = moe_aux
+        total += tcfg.moe_aux_weight * moe_aux
 
     reg = l2_regularization(params, mcfg)
     metrics["reg"] = reg

@@ -95,6 +95,7 @@ class Trainer:
         self.mesh = mesh
         self._tp = mesh is not None and "model" in mesh.axis_names
         self._sp = mesh is not None and "seq" in mesh.axis_names
+        self._ep = mesh is not None and "expert" in mesh.axis_names
         if tcfg.pp_devices:
             # branch placement: no mesh — the step orchestrates per-device
             # dispatch itself (parallel/pipeline.py)
@@ -107,6 +108,10 @@ class Trainer:
         elif self._tp:
             from ugaitnet_tpu.parallel.tensor import make_tp_train_step
             self.step_fn = make_tp_train_step(
+                self.model, self.tx, mcfg, tcfg, mesh)
+        elif self._ep:
+            from ugaitnet_tpu.parallel.expert import make_ep_train_step
+            self.step_fn = make_ep_train_step(
                 self.model, self.tx, mcfg, tcfg, mesh)
         elif self._sp:
             from ugaitnet_tpu.parallel.sequence import make_sp_train_step
@@ -176,6 +181,9 @@ class Trainer:
         if self._tp:
             from ugaitnet_tpu.parallel.tensor import place_tp_state
             state = place_tp_state(state, self.mesh)
+        elif self._ep:
+            from ugaitnet_tpu.parallel.expert import place_ep_state
+            state = place_ep_state(state, self.mesh)
         elif self.mesh is not None:
             from ugaitnet_tpu.parallel.sharding import replicate
             state = replicate(state, self.mesh)
