@@ -227,3 +227,58 @@ def test_moe_with_remat_trains():
     state = init_state(model, tx, jax.random.PRNGKey(0))
     state, m = step(state, _batch(b=4, t=5), jax.random.PRNGKey(2))
     assert np.isfinite(float(m["loss"])) and "moe_aux" in m
+
+
+def test_moe_aux_collected_in_shardmap_and_sp_steps():
+    """Round-3 advisor finding: make_local_loss (shared by the shard_map
+    DP step and the sequence-parallel step) silently dropped the sown
+    Switch aux term because model.apply lacked mutable=["moe"] — the
+    router trained without load balancing.  Pin that both steps now carry
+    moe_aux, matching the single-device value when the mesh keeps one
+    local batch (dp=1: routing sees the same tokens)."""
+    from ugaitnet_tpu.parallel.sequence import (
+        make_mesh_dpsp, make_sp_train_step, shard_batch_sp)
+    from ugaitnet_tpu.parallel.sharding import (
+        make_mesh, make_shardmap_train_step, replicate, shard_batch)
+
+    mcfg = _moe_cfg()
+    tcfg = TrainConfig(lr=3e-4, loss_weights=(1.0, 0.1), optimizer="sgd",
+                       moe_aux_weight=0.01)
+    model = UGaitNet(mcfg)
+    tx = make_optimizer(tcfg)
+    batch = _batch(b=8, t=25)
+
+    single = make_train_step(model, tx, mcfg, tcfg)
+    _, m1 = single(init_state(model, tx, jax.random.PRNGKey(0)), batch,
+                   jax.random.PRNGKey(7))
+    assert "moe_aux" in m1
+
+    # shard_map DP, dp=1: local batch == global batch -> exact aux parity
+    dmesh = make_mesh(1)
+    dpstep = make_shardmap_train_step(model, tx, mcfg, tcfg, dmesh)
+    _, m2 = dpstep(replicate(init_state(model, tx, jax.random.PRNGKey(0)),
+                             dmesh),
+                   shard_batch(batch, dmesh), jax.random.PRNGKey(7))
+    assert "moe_aux" in m2
+    np.testing.assert_allclose(float(m1["moe_aux"]), float(m2["moe_aux"]),
+                               rtol=1e-4)
+
+    # SP (1, 2): routing runs post-pool on replicated compute -> parity too
+    smesh = make_mesh_dpsp(1, 2)
+    spstep = make_sp_train_step(model, tx, mcfg, tcfg, smesh)
+    _, m3 = spstep(replicate(init_state(model, tx, jax.random.PRNGKey(0)),
+                             smesh),
+                   shard_batch_sp(batch, smesh), jax.random.PRNGKey(7))
+    assert "moe_aux" in m3
+    np.testing.assert_allclose(float(m1["moe_aux"]), float(m3["moe_aux"]),
+                               rtol=1e-3)
+
+    # multi-shard DP: routing is per-shard (different token subsets), so
+    # only presence/finiteness is pinned — but the total must include the
+    # weighted aux (loss ~= sum of parts)
+    dmesh4 = make_mesh(4)
+    dpstep4 = make_shardmap_train_step(model, tx, mcfg, tcfg, dmesh4)
+    _, m4 = dpstep4(replicate(init_state(model, tx, jax.random.PRNGKey(0)),
+                              dmesh4),
+                    shard_batch(batch, dmesh4), jax.random.PRNGKey(7))
+    assert np.isfinite(float(m4["moe_aux"])) and float(m4["moe_aux"]) > 0

@@ -125,9 +125,27 @@ def make_local_loss(model, mcfg, tcfg, axis: str = DATA_AXIS):
     triplet_fn = make_triplet_loss(tcfg.triplet_kind, tcfg.margin)
 
     def local_loss(params, batch: Batch, key):
-        out = model.apply(params, list(batch.volumes),
-                          list(batch.use_flags), train=True,
-                          rngs={"dropout": key})
+        moe_aux = None
+        if mcfg.has_moe:
+            # Same collection plumbing as train_step.compute_losses: the
+            # Switch routers sow their load-balance terms into "moe";
+            # without mutable=["moe"] the sow is a silent no-op and the
+            # router trains unbalanced (round-3 advisor finding).
+            out, mvars = model.apply(params, list(batch.volumes),
+                                     list(batch.use_flags), train=True,
+                                     rngs={"dropout": key},
+                                     mutable=["moe"])
+            moe_aux = jnp.float32(0.0)
+            for v in jax.tree_util.tree_leaves(mvars.get("moe", {})):
+                moe_aux += jnp.sum(v)
+            # Routing is per-shard (local tokens), so the aux term is a
+            # per-shard quantity — average it over the data axis exactly
+            # like the CE terms so the pmean'd gradient matches.
+            moe_aux = jax.lax.pmean(moe_aux, axis)
+        else:
+            out = model.apply(params, list(batch.volumes),
+                              list(batch.use_flags), train=True,
+                              rngs={"dropout": key})
         sig = out["signature"]
         sig_g = jax.lax.all_gather(sig, axis, axis=0, tiled=True)
         labels_g = jax.lax.all_gather(batch.labels, axis, axis=0, tiled=True)
@@ -162,6 +180,9 @@ def make_local_loss(model, mcfg, tcfg, axis: str = DATA_AXIS):
         reg = l2_regularization(params, mcfg)
         metrics["reg"] = reg
         total = total + reg
+        if moe_aux is not None:
+            metrics["moe_aux"] = moe_aux
+            total = total + tcfg.moe_aux_weight * moe_aux
         metrics["loss"] = total
         return total, metrics
 
