@@ -34,6 +34,11 @@ def build_parser():
     p.add_argument("--dataset", type=str, default="casiab")
     p.add_argument("--mode", type=str, default="train",
                    help="train | ft | test_nm | test_bg | test_cl | elapsed")
+    p.add_argument("--subject-ids", type=str, default="",
+                   help="subject id list: a file with one id per line "
+                        "(OU-MVLP's ID_list_train.txt / ID_list_test.txt, "
+                        "reference datasetInfo.py:260-285) or a comma-"
+                        "separated list; required for oumvlp train/ft")
     p.add_argument("--import-ref", type=str, default="",
                    help="reference-format per-sample h5 dir to convert")
     p.add_argument("--ofdir", type=str, default="")
@@ -48,13 +53,25 @@ def build_parser():
     return p
 
 
+def _parse_subject_ids(arg: str):
+    """--subject-ids: a file of one id per line (the OU-MVLP ID_list_*.txt
+    format, reference datasetInfo.py:260-264) or a comma-separated list."""
+    if not arg:
+        return None
+    if os.path.exists(arg):
+        with open(arg) as f:
+            return [int(line) for line in f.read().split() if line.strip()]
+    return [int(s) for s in arg.split(",") if s.strip()]
+
+
 def _iter_raw_videos(args):
     """Yield TrackedVideo items from raw OF/video + track files following the
     reference naming: <subject><condition>[-<cam>].{npz,avi} + .pkl."""
     from ugaitnet_tpu.data.builders import TrackedVideo, load_video_frames
     from ugaitnet_tpu.data.partitions import get_partition
 
-    spec = get_partition(args.dataset, args.mode)
+    spec = get_partition(args.dataset, args.mode,
+                         subject_ids=_parse_subject_ids(args.subject_ids))
     video_id = 0
     for sid in spec.subject_ids:
         for cond in spec.conditions:
@@ -62,6 +79,11 @@ def _iter_raw_videos(args):
             for cam in cams:
                 if args.dataset.startswith("casia"):
                     stem = f"{sid:03d}-{cond}-{cam:03d}"
+                elif spec.dataset == "oumvlp":
+                    # OU-MVLP naming: 5-digit subject, bare sequence number,
+                    # 3-digit camera (subject_pattern '{:05d}' + '-00-'/'-01-'
+                    # + cam, reference datasetInfo.py:254-276)
+                    stem = f"{sid:05d}-{cond}-{cam:03d}"
                 else:
                     stem = f"p{sid:03d}-{cond}"
                 track_path = os.path.join(args.trackdir, stem + ".pkl")

@@ -130,8 +130,9 @@ def get_partition(dataset: str, split: str,
         # reference patterns: train uses both sequences, ft '-01-'
         # (gallery), test '-00-' (probes) — datasetInfo.py:270-303
         conds = {"train": ("00", "01"), "ft": ("01",)}.get(split, ("00",))
+        # native resolution per the reference: 1280x960 (datasetInfo.py:252-253)
         return PartitionSpec("oumvlp", split, ids, conds, cams,
-                             1280, 980)
+                             1280, 960)
 
     raise ValueError(f"unknown dataset {dataset}")
 
