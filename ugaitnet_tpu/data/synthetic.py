@@ -29,8 +29,17 @@ def make_synthetic_dataset(num_subjects: int = 8,
                            gait_types: Sequence[int] = (0, 1, 2),
                            num_cams: int = 3,
                            seed: int = 0,
+                           template_seed: int | None = None,
                            name: str = "synthetic") -> GaitDataset:
+    """template_seed: seed for the per-subject identity templates,
+    decoupled from `seed` (the noise/subsequence draws).  Two datasets
+    built with the same template_seed but different seeds share identities
+    while every subsequence is an unseen draw — a train set and a
+    held-out eval set for convergence/Rank-1 protocols.  Defaults to
+    `seed` (one dataset, identical to the old behavior)."""
     rng = np.random.RandomState(seed)
+    trng = (np.random.RandomState(template_seed)
+            if template_seed is not None else rng)
     n = num_subjects * videos_per_subject * subseqs_per_video
 
     labels = np.zeros(n, np.int32)
@@ -40,8 +49,8 @@ def make_synthetic_dataset(num_subjects: int = 8,
     set_ids = np.ones(n, np.int32)
 
     stores = {}
-    templates = {m: rng.randn(num_subjects, 4, 4,
-                              MODALITY_CHANNELS[m]).astype(np.float32)
+    templates = {m: trng.randn(num_subjects, 4, 4,
+                               MODALITY_CHANNELS[m]).astype(np.float32)
                  for m in modalities}
     vols = {m: np.zeros((n, NUM_FRAMES * MODALITY_CHANNELS[m],
                          FRAME_H, FRAME_W),
