@@ -6,7 +6,24 @@ fused signature — on one chip, and compares against the MXU roofline for the
 same FLOPs (BASELINE.md target: >=90% of roofline clips/sec; the reference
 publishes no throughput numbers, SURVEY.md §6).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The timed iteration loop runs ON DEVICE (lax.fori_loop), so the number is
+chip throughput, not host dispatch rate.  Round-4 finding
+(benchmarks/proto_dispatch.py): through the remote-tunnel backend each
+python-level call costs ~27 ms of RPC dispatch, which had silently become
+the bottleneck of the old python-loop bench (~25 ms of device work per
+batch).  On a normal TPU host dispatch is microseconds and the two loops
+agree; on this one only the device-side loop measures the hardware.  Every
+loop iteration XORs BOTH modality volumes with the iteration index — a real
+data dependency per branch, so XLA cannot hoist any loop-invariant branch
+compute out of the measured region (hoisting the un-perturbed gray branch
+would otherwise fake a ~1.5x win).
+
+Also reports (in "detail") the flagship TRAIN step: samples/sec for the
+full fwd+bwd+adam update at B=120, nclasses=74 — the 110.8 ms / 1,083
+samples/s number that previously lived only in CLAUDE.md prose, so a
+backward/optimizer regression now moves a recorded artifact (VERDICT r3 #6).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 """
 
 import json
@@ -17,12 +34,7 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
-    try:
-        from ugaitnet_tpu.core.runtime import setup_compilation_cache
-        setup_compilation_cache()
-    except Exception:
-        pass
+def _flagship_embed_parts():
     from ugaitnet_tpu.core.config import BranchConfig, DataConfig, ModelConfig
     from ugaitnet_tpu.data.pipeline import preprocess_batch
     from ugaitnet_tpu.models.network import UGaitNet, init_params
@@ -48,8 +60,7 @@ def main():
     }
     dcfg = DataConfig()
 
-    @jax.jit
-    def embed(params, raw):
+    def embed_sum(params, raw):
         vols, flags, _ = preprocess_batch(
             raw, jax.random.PRNGKey(0), ("of", "gray"), (2, 1),
             (100.0, 1.0), 2, 1, False, dcfg)
@@ -59,30 +70,45 @@ def main():
         # 8 MB signature transfer per iteration.
         return jnp.sum(out["signature"])
 
-    float(embed(params, raw))  # compile + warmup
+    return model, params, raw, dcfg, embed_sum, B
 
-    # median of 5 chunks x 10 iters: the remote-tunnel backend has
-    # transient 3x-slow windows (CLAUDE.md round-3 notes); a single
-    # 50-iter window would record the stall as the round's number
-    chunk_iters, chunks = 10, 5
+
+EMBED_ITERS = 50  # amortizes the ~27 ms tunnel dispatch to <3% of a chunk
+
+
+def bench_embed():
+    model, params, raw, dcfg, embed_sum, B = _flagship_embed_parts()
+
+    @jax.jit
+    def embed_loop(params, raw):
+        def body(i, acc):
+            # XOR EVERY modality volume with the iteration index: a real
+            # per-branch data dependency, so no branch is loop-invariant
+            # and XLA's LICM cannot lift its compute out of the loop.
+            r = dict(raw)
+            r["raw_of"] = raw["raw_of"] ^ i.astype(jnp.int16)
+            r["raw_gray"] = raw["raw_gray"] ^ i.astype(jnp.uint8)
+            return acc + embed_sum(params, r)
+        return jax.lax.fori_loop(0, EMBED_ITERS, body, jnp.float32(0.0))
+
+    float(embed_loop(params, raw))  # compile + warmup
+
+    # median of 5 chunks: the remote-tunnel backend has transient slow
+    # windows (CLAUDE.md round-3 notes); the median rejects them.
     chunk_dts = []
-    for _ in range(chunks):
+    for _ in range(5):
         t0 = time.perf_counter()
-        last = None
-        for _ in range(chunk_iters):
-            last = embed(params, raw)
-        float(last)  # in-order device stream: last done => chunk done
+        float(embed_loop(params, raw))
         chunk_dts.append(time.perf_counter() - t0)
-    dt = float(np.median(chunk_dts))
-    iters = chunk_iters
-    clips_per_sec = B * iters / dt
+    dt = float(np.median(chunk_dts)) / EMBED_ITERS
+    clips_per_sec = B / dt
 
-    # roofline: model FLOPs per clip / chip peak
+    # roofline: model FLOPs per clip / chip peak, from the single-call
+    # program (identical HLO to rounds 1-3 -> persistent-cache hit; the
+    # fori_loop program's cost_analysis does not scale by trip count).
     try:
-        # embed is already jitted — re-wrapping would compile the whole
-        # program a second time (on a cache miss that is ~10 min through
-        # the tunnel)
-        cost = embed.lower(params, raw).compile().cost_analysis()
+        embed1 = jax.jit(embed_sum)
+        cost = embed1.lower(params, raw).compile().cost_analysis()
         flops_batch = float(cost.get("flops", 0.0)) if cost else 0.0
     except Exception:
         flops_batch = 0.0
@@ -93,19 +119,95 @@ def main():
     else:
         roofline_clips = 0.0
         vs_baseline = 0.0
+    return {
+        "clips_per_sec": clips_per_sec, "vs_baseline": vs_baseline,
+        "batch": B, "iters_per_chunk": EMBED_ITERS,
+        "ms_per_batch": dt * 1e3,
+        "chunk_seconds": [round(c, 4) for c in chunk_dts],
+        "model_flops_per_clip": flops_batch / B if flops_batch else None,
+        "roofline_clips_per_sec": roofline_clips,
+    }
 
+
+TRAIN_ITERS = 10
+
+
+def bench_train_step():
+    """Flagship train step (fwd+bwd+adam, B=120, nclasses=74 — the
+    benchmarks/step_opts.py configuration), iterated on device.  The state
+    carry chains iterations naturally (params update every step), so
+    nothing is hoistable."""
+    from ugaitnet_tpu.core.config import BranchConfig, ModelConfig, TrainConfig
+    from ugaitnet_tpu.models.network import UGaitNet, init_params
+    from ugaitnet_tpu.train.train_step import (Batch, TrainState,
+                                               make_optimizer,
+                                               make_train_step_fn)
+
+    cfg = ModelConfig(
+        branches=(BranchConfig(kind="gaitset", modality="of"),
+                  BranchConfig(kind="gaitset", modality="gray")),
+        merge="sign_max", nclasses=74, compute_dtype="bfloat16")
+    tcfg = TrainConfig()
+    model = UGaitNet(cfg)
+    params = init_params(model, jax.random.PRNGKey(0), batch=2)
+    tx = make_optimizer(tcfg)
+    state = TrainState(step=jnp.int32(0), params=params,
+                       opt_state=tx.init(params))
+    B = 120
+    rng = np.random.RandomState(0)
+    batch = Batch(
+        volumes=(jnp.asarray(rng.randn(B, 25, 60, 60, 2).astype(np.float32)),
+                 jnp.asarray(rng.randn(B, 25, 60, 60, 1).astype(np.float32))),
+        use_flags=(jnp.ones((B,), jnp.float32),
+                   jnp.ones((B,), jnp.float32)),
+        labels=jnp.asarray(np.repeat(np.arange(12), 10).astype(np.int32)))
+    step_fn = make_train_step_fn(model, tx, cfg, tcfg)
+
+    @jax.jit
+    def step_loop(state, batch, key):
+        def body(i, st):
+            st2, _ = step_fn(st, batch, jax.random.fold_in(key, i))
+            return st2
+        return jax.lax.fori_loop(0, TRAIN_ITERS, body, state)
+
+    key = jax.random.PRNGKey(1)
+    state = step_loop(state, batch, key)  # compile + warmup
+    float(state.step)
+    chunk_dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state = step_loop(state, batch, key)
+        float(state.step)
+        chunk_dts.append(time.perf_counter() - t0)
+    dt = float(np.median(chunk_dts)) / TRAIN_ITERS
+    return {"train_step_ms": dt * 1e3, "train_samples_per_sec": B / dt,
+            "train_batch": B,
+            "train_chunk_seconds": [round(c, 4) for c in chunk_dts]}
+
+
+def main():
+    try:
+        from ugaitnet_tpu.core.runtime import setup_compilation_cache
+        setup_compilation_cache()
+    except Exception:
+        pass
+
+    emb = bench_embed()
+    try:
+        train = bench_train_step()
+    except Exception as e:  # never lose the primary metric to the secondary
+        train = {"train_error": repr(e)[:200]}
+
+    detail = {k: (round(v, 2) if isinstance(v, float) else v)
+              for k, v in {**emb, **train}.items()
+              if k not in ("clips_per_sec", "vs_baseline")}
+    detail["device"] = str(jax.devices()[0])
     print(json.dumps({
         "metric": "preprocess_embed_throughput",
-        "value": round(clips_per_sec, 2),
+        "value": round(emb["clips_per_sec"], 2),
         "unit": "clips/sec/chip",
-        "vs_baseline": round(vs_baseline, 4),
-        "detail": {
-            "batch": B, "iters": iters, "seconds": round(dt, 4),
-            "chunk_seconds": [round(c, 4) for c in chunk_dts],
-            "model_flops_per_clip": flops_batch / B if flops_batch else None,
-            "roofline_clips_per_sec": round(roofline_clips, 2),
-            "device": str(jax.devices()[0]),
-        },
+        "vs_baseline": round(emb["vs_baseline"], 4),
+        "detail": detail,
     }))
 
 
