@@ -82,6 +82,50 @@ def test_sharded_step_matches_single_device(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def _run_steps(ds, pipe, mcfg, tcfg, step_fn, state, nsteps, to_batch=None):
+    sampler = BalancedGaitSampler(ds.labels, ds.gaits, batch_size=8,
+                                  repetition=2, seed=0)
+    losses = []
+    for i in range(nsteps):
+        vols, flags, labels = pipe.load(sampler.next_batch(),
+                                        jax.random.PRNGKey(i))
+        batch = Batch(volumes=tuple(vols), use_flags=tuple(flags),
+                      labels=labels)
+        if to_batch is not None:
+            batch = to_batch(batch)
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(100 + i))
+        losses.append(float(metrics["loss"]))
+    return losses
+
+
+def test_loss_converges_single_device(setup):
+    """30 steps must HALVE the loss, not merely tick down (VERDICT r3 #9):
+    a sampler/augment/optimizer bug that plateaus training at chance
+    passes `losses[-1] < losses[0]` but fails this."""
+    ds, model, tx, _, pipe, mcfg, _ = setup
+    tcfg = TrainConfig(lr=3e-3, loss_weights=(1.0, 0.1), margin=0.2)
+    tx = make_optimizer(tcfg)
+    state = init_state(model, tx, jax.random.PRNGKey(0))
+    step = make_train_step(model, tx, mcfg, tcfg)
+    losses = _run_steps(ds, pipe, mcfg, tcfg, step, state, 30)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.5 * losses[0], losses
+
+
+def test_loss_converges_dp_mesh(setup):
+    """Same halving bar for the GSPMD data-parallel step."""
+    ds, model, tx, _, pipe, mcfg, _ = setup
+    tcfg = TrainConfig(lr=3e-3, loss_weights=(1.0, 0.1), margin=0.2)
+    tx = make_optimizer(tcfg)
+    mesh = make_mesh(8)
+    step = make_sharded_train_step(model, tx, mcfg, tcfg, mesh)
+    state = replicate(init_state(model, tx, jax.random.PRNGKey(0)), mesh)
+    losses = _run_steps(ds, pipe, mcfg, tcfg, step, state, 30,
+                        to_batch=lambda b: shard_batch(b, mesh))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.5 * losses[0], losses
+
+
 def test_optimizers_construct():
     for name in ("adam", "sgd", "amsgrad", "adamw"):
         make_optimizer(TrainConfig(optimizer=name))
