@@ -41,7 +41,8 @@ class SignatureService:
                  buckets: Sequence[int] = (1, 8, 32, 128),
                  quantized: bool = False,
                  calib_volumes: Optional[Sequence] = None,
-                 norm_stats: Optional[Dict] = None):
+                 norm_stats: Optional[Dict] = None,
+                 gallery_dtype: str = "float32"):
         # The reference-parity signature normalizes rank-3 signatures over
         # the BATCH axis (ModelConfig.l2_mode="reference",
         # /root/reference/nets/mj_uwyhNets_ba.py:817) — codes then depend on
@@ -93,9 +94,21 @@ class SignatureService:
                     f"norm_stats disagree on dataset-source count per "
                     f"modality: {sorted(rows)}")
             self.norm_sources = rows.pop()
-        self._gallery_codes: Optional[jax.Array] = None
+        # gallery_dtype="int8": store the gallery symmetric-int8 quantized
+        # (ops/knn.quantize_gallery) and run the distance cross-term as an
+        # int8 MXU matmul.  The pod-scale lane int8 actually wins (unlike
+        # the convs — CLAUDE.md "int8 inference findings"): reading the
+        # gallery dominates identify at large G, int8 quarters those bytes
+        # and doubles the MXU rate, and 4x more codes fit per chip.  Probe
+        # encode stays bf16; |g|^2 stays exact f32.
+        if gallery_dtype not in ("float32", "int8"):
+            raise ValueError(f"gallery_dtype must be float32 or int8, "
+                             f"got {gallery_dtype!r}")
+        self.gallery_dtype = gallery_dtype
+        self._gallery_codes = None  # f32 array, or (int8, scale, g2) tuple
         self._gallery_dense: Optional[jax.Array] = None
         self._ulabels: Optional[np.ndarray] = None
+        self._gallery_size = 0
 
         # optional int8 encode (ops/quantize.py): requires pre-quantized
         # params (calibrated on representative volumes)
@@ -145,8 +158,11 @@ class SignatureService:
                 codes = _tap(out, self.typecode)
             # distance + vote shared with the eval protocol's kNN so the
             # sklearn tie-break parity lives in one place (ops/knn.py)
-            from ugaitnet_tpu.ops.knn import pairwise_l2
-            d2 = pairwise_l2(codes, gallery)
+            from ugaitnet_tpu.ops.knn import pairwise_l2, pairwise_l2_int8
+            if isinstance(gallery, tuple):   # int8 gallery (codes, scale, g2)
+                d2 = pairwise_l2_int8(codes, *gallery)
+            else:
+                d2 = pairwise_l2(codes, gallery)
             neg, idx = jax.lax.top_k(-d2, k)
             votes = jax.nn.one_hot(gallery_dense[idx], n_classes,
                                    dtype=jnp.float32)
@@ -174,7 +190,14 @@ class SignatureService:
         remote-tunnel backend costs minutes)."""
         self._ulabels, dense = np.unique(np.asarray(labels),
                                          return_inverse=True)
-        self._gallery_codes = jnp.asarray(codes, jnp.float32)
+        if self.gallery_dtype == "int8":
+            from ugaitnet_tpu.ops.knn import quantize_gallery
+            q, scale, g2 = quantize_gallery(codes)
+            self._gallery_codes = (jnp.asarray(q),
+                                   jnp.float32(scale), jnp.asarray(g2))
+        else:
+            self._gallery_codes = jnp.asarray(codes, jnp.float32)
+        self._gallery_size = int(len(codes))
         self._gallery_dense = jnp.asarray(dense.astype(np.int32))
         if warmup:
             self.warmup()
@@ -276,7 +299,7 @@ class SignatureService:
         src = np.asarray(raw.get("source", np.zeros(n, np.int32)))
         padded["source"] = jnp.asarray(np.concatenate(
             [src, np.zeros(nb - n)]).astype(np.int32))
-        k = min(self.knn, int(self._gallery_codes.shape[0]))
+        k = min(self.knn, self._gallery_size)
         pred, dists = self._identify(self.params, padded,
                                      self._gallery_codes,
                                      self._gallery_dense,
