@@ -1,0 +1,128 @@
+"""Record serving (identify) latency as an artifact — not a print.
+
+The reference prints its kNN elapsed times and discards them
+(/root/reference/mains/mj_testUWYHGaitNet_open_casiab.py:314-315,392-394);
+this writes `benchmarks/results_serving_latency.json` with, per request
+bucket: first-query-after-warmup latency (cold start), p50/p95 over
+repeated queries, and a device-compute-only time (device-side fori_loop
+of the same encode+identify program, dispatch/H2D excluded).
+
+Environment note baked into the artifact: through the axon tunnel every
+host->device transfer moves ~70 MB/s and each dispatch costs ~27 ms
+(CLAUDE.md round-3/4 findings), so end-to-end latencies here are tunnel-
+dominated for large buckets; the device_ms column is the number a real
+TPU host would approach.
+
+Run: python benchmarks/bench_serving.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+BUCKETS = (1, 8, 32, 128)
+QUERIES = 30
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from ugaitnet_tpu.core.runtime import setup_compilation_cache
+    setup_compilation_cache()
+    from ugaitnet_tpu.core.config import BranchConfig, ModelConfig
+    from ugaitnet_tpu.data.synthetic import make_synthetic_dataset
+    from ugaitnet_tpu.eval.serving import SignatureService
+    from ugaitnet_tpu.models.network import UGaitNet, init_params
+
+    mcfg = ModelConfig(
+        branches=(BranchConfig(kind="gaitset", modality="of"),
+                  BranchConfig(kind="gaitset", modality="gray")),
+        merge="sign_max", nclasses=74, compute_dtype="bfloat16")
+    model = UGaitNet(mcfg)
+    params = init_params(model, jax.random.PRNGKey(0), batch=2)
+
+    ds = make_synthetic_dataset(num_subjects=8, videos_per_subject=3,
+                                subseqs_per_video=3)
+    svc = SignatureService(model, params, ("of", "gray"), knn=1,
+                           buckets=BUCKETS)
+    t0 = time.perf_counter()
+    svc.build_gallery(ds, batch_size=32, warmup=True)
+    build_s = time.perf_counter() - t0
+
+    out = {"device": str(jax.devices()[0]),
+           "gallery_size": int(len(ds.labels)),
+           "build_gallery_s": round(build_s, 2),
+           "tunnel_note": ("end-to-end latencies include the axon tunnel's "
+                           "~70 MB/s H2D and ~27 ms/dispatch; device_ms is "
+                           "the on-chip compute time per query"),
+           "buckets": {}}
+
+    for b in BUCKETS:
+        # tile to exactly b samples (the synthetic set may hold fewer)
+        idx = np.resize(np.arange(len(ds.labels)), b)
+        raw = {"raw_of": ds.modalities["of"].volumes[idx],
+               "raw_gray": ds.modalities["gray"].volumes[idx]}
+        t0 = time.perf_counter()
+        svc.identify_raw(raw)
+        first_ms = (time.perf_counter() - t0) * 1e3
+        lat = []
+        for _ in range(QUERIES):
+            t0 = time.perf_counter()
+            svc.identify_raw(raw)
+            lat.append((time.perf_counter() - t0) * 1e3)
+        lat = np.asarray(lat)
+
+        # device-compute-only: the same jitted encode+identify chained in a
+        # device-side fori_loop (the raw batch XORed with the iteration
+        # index so nothing hoists)
+        rof = jnp.asarray(raw["raw_of"])
+        rgr = jnp.asarray(raw["raw_gray"])
+        gal, gald = svc._gallery_codes, svc._gallery_dense
+        ident = svc._identify  # jitted (params, raw, gallery, dense, n, k)
+        n_classes = len(svc._ulabels)
+        iters = 20
+
+        @jax.jit
+        def loop(params, rof, rgr, gal, gald):
+            def body(i, c):
+                r = {"raw_of": rof ^ i.astype(jnp.int16),
+                     "raw_gray": rgr ^ i.astype(jnp.uint8),
+                     "present_of": jnp.ones((b,), jnp.float32),
+                     "present_gray": jnp.ones((b,), jnp.float32),
+                     "labels": jnp.zeros((b,), jnp.int32)}
+                ii, dd = ident(params, r, gal, gald, n_classes, svc.knn)
+                return c + jnp.sum(dd).astype(jnp.float32)
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+        float(loop(svc.params, rof, rgr, gal, gald))
+        t0 = time.perf_counter()
+        float(loop(svc.params, rof, rgr, gal, gald))
+        device_ms = (time.perf_counter() - t0) / iters * 1e3
+
+        out["buckets"][str(b)] = {
+            "first_after_warmup_ms": round(first_ms, 1),
+            "p50_ms": round(float(np.percentile(lat, 50)), 1),
+            "p95_ms": round(float(np.percentile(lat, 95)), 1),
+            "device_ms": round(device_ms, 2),
+            "queries": QUERIES,
+        }
+        print(f"bucket {b}: first {first_ms:.0f} ms, "
+              f"p50 {np.percentile(lat, 50):.0f}, "
+              f"p95 {np.percentile(lat, 95):.0f}, "
+              f"device {device_ms:.1f} ms", flush=True)
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results_serving_latency.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()
