@@ -73,7 +73,7 @@ def _flagship_embed_parts():
     return model, params, raw, dcfg, embed_sum, B
 
 
-EMBED_ITERS = 50  # amortizes the ~27 ms tunnel dispatch to <3% of a chunk
+EMBED_ITERS = 150  # amortizes the ~27 ms tunnel dispatch to <1% of a chunk
 
 
 def bench_embed():
@@ -93,10 +93,10 @@ def bench_embed():
 
     float(embed_loop(params, raw))  # compile + warmup
 
-    # median of 5 chunks: the remote-tunnel backend has transient slow
+    # median of 4 chunks: the remote-tunnel backend has transient slow
     # windows (CLAUDE.md round-3 notes); the median rejects them.
     chunk_dts = []
-    for _ in range(5):
+    for _ in range(4):
         t0 = time.perf_counter()
         float(embed_loop(params, raw))
         chunk_dts.append(time.perf_counter() - t0)
@@ -129,7 +129,7 @@ def bench_embed():
     }
 
 
-TRAIN_ITERS = 10
+TRAIN_ITERS = 30
 
 
 def bench_train_step():
