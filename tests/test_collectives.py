@@ -57,14 +57,30 @@ def _shape_bytes(shape_str: str) -> int:
 
 
 def inventory(compiled) -> dict:
-    """{kind: (count, total_output_bytes)} over the compiled HLO."""
+    """{kind: (count, total_output_bytes)} over the compiled HLO.
+
+    Parse-health guard (ADVICE r4): the regex is calibrated to jax 0.8 HLO
+    spellings.  Cross-check it against a plain opcode-token scan of the
+    same text so a compiler upgrade that re-formats the lines fails with
+    "HLO parse drift", not a silently-wrong inventory.
+    """
+    text = compiled.as_text()
     agg = {}
-    for line in compiled.as_text().splitlines():
+    for line in text.splitlines():
         m = COLLECTIVE_RE.search(line)
         if m and "-done" not in line.split("=")[0]:
             kind = m.group(2)
             c, b = agg.get(kind, (0, 0))
             agg[kind] = (c + 1, b + _shape_bytes(m.group(1)))
+    for kind in ("all-reduce", "all-gather", "all-to-all",
+                 "collective-permute", "reduce-scatter"):
+        token_count = len(re.findall(
+            rf"\b{kind}(?:-start)?\(", text))
+        parsed = agg.get(kind, (0, 0))[0]
+        assert parsed == token_count, (
+            f"HLO parse drift: token scan sees {token_count} '{kind}' ops "
+            f"but COLLECTIVE_RE parsed {parsed} — update the regex for "
+            f"this jax/XLA version before trusting the inventory")
     return agg
 
 

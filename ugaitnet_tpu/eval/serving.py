@@ -194,7 +194,7 @@ class SignatureService:
             from ugaitnet_tpu.ops.knn import quantize_gallery
             q, scale, g2 = quantize_gallery(codes)
             self._gallery_codes = (jnp.asarray(q),
-                                   jnp.float32(scale), jnp.asarray(g2))
+                                   jnp.asarray(scale), jnp.asarray(g2))
         else:
             self._gallery_codes = jnp.asarray(codes, jnp.float32)
         self._gallery_size = int(len(codes))

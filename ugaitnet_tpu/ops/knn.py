@@ -31,42 +31,55 @@ def pairwise_l2(probes: jax.Array, gallery: jax.Array) -> jax.Array:
     return jnp.maximum(p2 + g2[None, :] - 2.0 * dot, 0.0)
 
 
-def quantize_gallery(codes: np.ndarray) -> Tuple[np.ndarray, float,
+def quantize_gallery(codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray,
                                                  np.ndarray]:
-    """Symmetric per-gallery int8 quantization: (int8 codes, scale, |g|^2).
+    """Symmetric per-ROW int8 quantization: (int8 codes, (G,) scales, |g|^2).
 
-    The squared norms are computed from the ORIGINAL codes, so only the
-    cross term of the distance is quantized (pairwise_l2_int8).  For
-    pod-scale galleries this is the int8 win the convs never delivered
-    (CLAUDE.md "int8 inference findings"): the (P,D)x(D,G) distance
-    matmul at large G is gallery-bandwidth-bound, and int8 quarters the
-    bytes read per query besides doubling the MXU rate — and a 16 GB v5e
-    holds a 4x larger gallery resident.
+    Per-row scales so one outlier code cannot degrade int8 resolution for
+    every other gallery row (a global max-abs scale would).  The squared
+    norms are computed from the ORIGINAL codes, so only the cross term of
+    the distance is quantized (pairwise_l2_int8).  For pod-scale galleries
+    this is the int8 win the convs never delivered (CLAUDE.md "int8
+    inference findings"): the (P,D)x(D,G) distance matmul at large G is
+    gallery-bandwidth-bound, and int8 quarters the bytes read per query
+    besides doubling the MXU rate — and a 16 GB v5e holds a 4x larger
+    gallery resident.  The (G,) f32 scale vector adds 4 bytes/row next to
+    D>=992 int8 code bytes (<0.5% overhead).
     """
     codes = np.asarray(codes, np.float32)
-    scale = float(np.max(np.abs(codes))) / 127.0 or 1.0
-    q = np.clip(np.rint(codes / scale), -127, 127).astype(np.int8)
+    if codes.size == 0:
+        return (codes.astype(np.int8),
+                np.ones((codes.shape[0],), np.float32),
+                np.zeros((codes.shape[0],), np.float32))
+    scale = np.maximum(np.max(np.abs(codes), axis=1), 1e-30) / 127.0
+    q = np.clip(np.rint(codes / scale[:, None]), -127, 127).astype(np.int8)
     g2 = np.sum(np.square(codes), axis=1).astype(np.float32)
-    return q, scale, g2
+    return q, scale.astype(np.float32), g2
 
 
 def pairwise_l2_int8(probes: jax.Array, gallery_i8: jax.Array,
                      gallery_scale, g2: jax.Array) -> jax.Array:
     """(P, D) f32 x (G, D) int8 -> (P, G) squared-L2.
 
-    Probes are quantized per batch (symmetric, dynamic max); the cross
-    term runs as an int8 x int8 -> int32 MXU matmul and is rescaled in
-    f32; |q|^2 and |g|^2 stay exact f32.  For L2-normalized signature
-    codes the neighbor-order perturbation is O(1e-3) of the distance —
-    top-1 parity is pinned by tests/test_knn_int8.py.
+    Probes are quantized per ROW (symmetric max-abs — a single large-norm
+    probe does not cost the rest of the bucket precision); the cross term
+    runs as an int8 x int8 -> int32 MXU matmul and is rescaled in f32 by
+    the per-row probe scales and per-row gallery scales ((G,) vector or a
+    legacy scalar — both broadcast); |q|^2 and |g|^2 stay exact f32.  For
+    L2-normalized signature codes the neighbor-order perturbation is
+    O(1e-3) of the distance — top-1 parity is pinned by
+    tests/test_knn_int8.py.
     """
     p2 = jnp.sum(jnp.square(probes), axis=1, keepdims=True)
-    ps = jnp.maximum(jnp.max(jnp.abs(probes)), 1e-30) / 127.0
+    ps = jnp.maximum(jnp.max(jnp.abs(probes), axis=1, keepdims=True),
+                     1e-30) / 127.0
     q_i8 = jnp.clip(jnp.round(probes / ps), -127, 127).astype(jnp.int8)
     dot_i32 = jax.lax.dot_general(
         q_i8, gallery_i8, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)
-    dot = dot_i32.astype(jnp.float32) * (ps * gallery_scale)
+    gscale = jnp.asarray(gallery_scale, jnp.float32)
+    gscale = gscale[None, :] if gscale.ndim == 1 else gscale
+    dot = dot_i32.astype(jnp.float32) * ps * gscale
     return jnp.maximum(p2 + g2[None, :] - 2.0 * dot, 0.0)
 
 
