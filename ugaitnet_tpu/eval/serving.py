@@ -42,7 +42,8 @@ class SignatureService:
                  quantized: bool = False,
                  calib_volumes: Optional[Sequence] = None,
                  norm_stats: Optional[Dict] = None,
-                 gallery_dtype: str = "float32"):
+                 gallery_dtype: str = "float32",
+                 mesh=None):
         # The reference-parity signature normalizes rank-3 signatures over
         # the BATCH axis (ModelConfig.l2_mode="reference",
         # /root/reference/nets/mj_uwyhNets_ba.py:817) — codes then depend on
@@ -131,6 +132,20 @@ class SignatureService:
                                  "(one (B,T,H,W,C_i) batch per modality)")
             self.params = quantize_model_params(params, model.config,
                                                 calib_volumes)
+        # mesh=<jax.sharding.Mesh>: pod-scale gallery mode.  set_gallery
+        # row-shards the codes (f32 or int8 tuple) over the mesh's FIRST
+        # axis with +inf-distance pad sentinels; params are replicated once
+        # here, probes replicate per query, and GSPMD partitions the
+        # distance matmul + assembles the global top-k inside the same
+        # jitted _identify.  An 8-chip v5e pod with the int8 gallery holds
+        # 32x the single-chip f32 capacity (4x int8 x 8 row shards).
+        # Label parity with the single-device service is pinned on the
+        # virtual mesh (tests/test_serving.py).
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            self.params = jax.device_put(
+                self.params, NamedSharding(mesh, PartitionSpec()))
 
         def _prep(raw):
             if self._norm is not None:
@@ -190,6 +205,34 @@ class SignatureService:
         remote-tunnel backend costs minutes)."""
         self._ulabels, dense = np.unique(np.asarray(labels),
                                          return_inverse=True)
+        self._gallery_size = int(len(codes))
+        dense = dense.astype(np.int32)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            axis = self.mesh.axis_names[0]
+            row_sh = NamedSharding(self.mesh, PartitionSpec(axis))
+            nshards = self.mesh.shape[axis]
+            if self.gallery_dtype == "int8":
+                from ugaitnet_tpu.ops.knn import (pad_gallery_int8,
+                                                  quantize_gallery)
+                q, scale, g2 = quantize_gallery(codes)
+                q, scale, g2, dense = pad_gallery_int8(q, scale, g2, dense,
+                                                       nshards)
+                self._gallery_codes = tuple(
+                    jax.device_put(jnp.asarray(a), row_sh)
+                    for a in (q, scale, g2))
+            else:
+                g = np.asarray(codes, np.float32)
+                pad = (-len(g)) % nshards
+                if pad:  # +inf-distance sentinels; never reach a top-k
+                    g = np.concatenate(
+                        [g, np.full((pad, g.shape[1]), 1e6, np.float32)])
+                    dense = np.concatenate([dense, np.zeros(pad, np.int32)])
+                self._gallery_codes = jax.device_put(jnp.asarray(g), row_sh)
+            self._gallery_dense = jax.device_put(jnp.asarray(dense), row_sh)
+            if warmup:
+                self.warmup()
+            return
         if self.gallery_dtype == "int8":
             from ugaitnet_tpu.ops.knn import quantize_gallery
             q, scale, g2 = quantize_gallery(codes)
@@ -197,8 +240,7 @@ class SignatureService:
                                    jnp.asarray(scale), jnp.asarray(g2))
         else:
             self._gallery_codes = jnp.asarray(codes, jnp.float32)
-        self._gallery_size = int(len(codes))
-        self._gallery_dense = jnp.asarray(dense.astype(np.int32))
+        self._gallery_dense = jnp.asarray(dense)
         if warmup:
             self.warmup()
 

@@ -116,15 +116,46 @@ def knn_predict(probes: np.ndarray, gallery: np.ndarray,
     return ulabs[np.concatenate(preds)]
 
 
+@functools.partial(jax.jit, static_argnames=("k", "num_classes"))
+def _knn_device_int8(probes, gallery_i8, gscale, g2, gallery_labels,
+                     k: int, num_classes: int):
+    d2 = pairwise_l2_int8(probes, gallery_i8, gscale, g2)
+    neg = -d2
+    _, idx = jax.lax.top_k(neg, k)
+    neighbor_labels = gallery_labels[idx]
+    votes = jax.nn.one_hot(neighbor_labels, num_classes, dtype=jnp.float32)
+    counts = jnp.sum(votes, axis=1)
+    return jnp.argmax(counts, axis=1), d2
+
+
+def pad_gallery_int8(q: np.ndarray, scale: np.ndarray, g2: np.ndarray,
+                     dense_labels: np.ndarray, multiple: int):
+    """Pad a quantized gallery to a row-count multiple with +inf-distance
+    sentinels (q=0, |g|^2=1e12) so row-sharding divides evenly; the
+    sentinels can never enter a top-k as long as k <= real rows."""
+    pad = (-len(q)) % multiple
+    if not pad:
+        return q, scale, g2, dense_labels
+    return (np.concatenate([q, np.zeros((pad, q.shape[1]), np.int8)]),
+            np.concatenate([scale, np.ones(pad, np.float32)]),
+            np.concatenate([g2, np.full(pad, 1e12, np.float32)]),
+            np.concatenate([dense_labels, np.zeros(pad, np.int32)]))
+
+
 def knn_predict_sharded(probes: np.ndarray, gallery: np.ndarray,
-                        gallery_labels: np.ndarray, mesh, k: int = 3
-                        ) -> np.ndarray:
+                        gallery_labels: np.ndarray, mesh, k: int = 3,
+                        gallery_dtype: str = "float32") -> np.ndarray:
     """kNN with the gallery row-sharded over a device mesh.
 
     For galleries too large for one chip's HBM: codes + labels are placed
     with axis 0 sharded over the mesh's data axis, probes replicated; GSPMD
-    partitions the distance matmul and assembles the global top-k. Results
-    are identical to knn_predict (tested on the virtual mesh).
+    partitions the distance matmul (each chip scores its gallery rows —
+    traffic rides the probe replication, not the gallery) and assembles the
+    global top-k.  gallery_dtype="int8" quantizes per row on host
+    (shard-independent, so results match the single-device int8 path
+    exactly) and runs the cross term as an int8 MXU matmul — 4x gallery
+    rows per chip on top of the sharding.  Label parity with knn_predict is
+    pinned on the virtual mesh (tests/test_knn_int8.py, test_eval.py).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
     gallery_labels = np.asarray(gallery_labels)
@@ -133,16 +164,25 @@ def knn_predict_sharded(probes: np.ndarray, gallery: np.ndarray,
     row_sh = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
     n = mesh.shape[axis]
-    g = np.asarray(gallery, np.float32)
     d_lab = dense.astype(np.int32)
+    pr = jax.device_put(jnp.asarray(np.asarray(probes, np.float32)), rep)
+    k = min(k, len(gallery))
+    if gallery_dtype == "int8":
+        q, scale, g2 = quantize_gallery(np.asarray(gallery))
+        q, scale, g2, d_lab = pad_gallery_int8(q, scale, g2, d_lab, n)
+        pred, _ = _knn_device_int8(
+            pr, jax.device_put(jnp.asarray(q), row_sh),
+            jax.device_put(jnp.asarray(scale), row_sh),
+            jax.device_put(jnp.asarray(g2), row_sh),
+            jax.device_put(jnp.asarray(d_lab), row_sh), k, len(ulabs))
+        return ulabs[np.asarray(pred)]
+    g = np.asarray(gallery, np.float32)
     pad = (-len(g)) % n
     if pad:  # pad with +inf-distance sentinels so sharding divides evenly
         g = np.concatenate([g, np.full((pad, g.shape[1]), 1e6, np.float32)])
         d_lab = np.concatenate([d_lab, np.zeros(pad, np.int32)])
     gal = jax.device_put(jnp.asarray(g), row_sh)
     lab = jax.device_put(jnp.asarray(d_lab), row_sh)
-    pr = jax.device_put(jnp.asarray(np.asarray(probes, np.float32)), rep)
-    k = min(k, len(gallery))
     pred, _ = _knn_device(pr, gal, lab, k, len(ulabs))
     return ulabs[np.asarray(pred)]
 
