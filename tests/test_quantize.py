@@ -94,3 +94,51 @@ def test_quantized_serving_on_tpu():
            "raw_gray": ds.modalities["gray"].volumes[:4]}
     labels, dists = svc.identify_raw(raw)
     np.testing.assert_array_equal(labels, ds.labels[:4])
+
+
+def _conv_branch_cfg(kind, modality):
+    if kind == "conv2d":
+        return BranchConfig(kind="conv2d", modality=modality,
+                            filters_numbers=(16, 16, 32, 32),
+                            filters_size=(7, 5, 3, 2), ndense_units=32,
+                            activation="leaky")
+    return BranchConfig(kind="conv3d", modality=modality, ndense_units=32,
+                        activation="relu")
+
+
+@pytest.mark.parametrize("kind", ["conv2d", "conv3d"])
+def test_int8_encode_conv_branches(kind):
+    """int8 encode for the conv2d/conv3d families (VERDICT r4 ask #7):
+    closes the former NotImplementedError scope cliff.  Perf verdict on
+    v5e: slower than the float path at the real branch shapes (0.50-0.66x,
+    benchmarks/proto_int8_branch.py) — kept as parity-pinned capacity
+    options.  Pins cosine >= 0.99 vs the fp32 path and missing-modality
+    gating."""
+    import dataclasses
+    from ugaitnet_tpu.ops.quantize import encode_int8
+
+    mcfg = ModelConfig(branches=(_conv_branch_cfg(kind, "gray"),
+                                 _conv_branch_cfg(kind, "depth")),
+                       merge="max", nclasses=0, l2_mode="feature")
+    model = UGaitNet(mcfg)
+    params = init_params(model, jax.random.PRNGKey(0), batch=2)
+    rng = np.random.RandomState(0)
+    B = 4
+    vols = [jnp.asarray(rng.randn(B, 25, 60, 60, 1).astype(np.float32) * .3)
+            for _ in range(2)]
+    flags = [jnp.ones(B), jnp.ones(B)]
+    qp = quantize_model_params(params, mcfg, vols)
+    code_q = np.asarray(encode_int8(qp, vols, flags, mcfg))
+    code_f = np.asarray(model.apply(params, list(vols), flags,
+                                    train=False)["flatten"])
+    cos = np.sum(code_q * code_f, 1) / (
+        np.linalg.norm(code_q, axis=1) * np.linalg.norm(code_f, axis=1))
+    assert cos.min() > 0.99, cos
+
+    # gating parity: a missing modality must zero its branch exactly
+    flags0 = [jnp.ones(B), jnp.zeros(B)]
+    noise = [vols[0], jnp.asarray(rng.randn(B, 25, 60, 60, 1)
+                                  .astype(np.float32))]
+    a = np.asarray(encode_int8(qp, vols, flags0, mcfg))
+    b = np.asarray(encode_int8(qp, noise, flags0, mcfg))
+    np.testing.assert_array_equal(a, b)

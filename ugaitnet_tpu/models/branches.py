@@ -71,6 +71,18 @@ class Conv2DBranch(nn.Module):
         return x.astype(jnp.float32)
 
 
+# (filters, kernel, strides) — mj_uwyhNets_ba.py:347-363; shared with the
+# int8 inference mirror (ops/quantize.py:conv3d_branch_int8)
+CONV3D_SPEC = (
+    (64, (3, 5, 5), (1, 2, 2)),
+    (128, (3, 3, 3), (1, 2, 2)),
+    (256, (3, 3, 3), (2, 2, 2)),
+    (512, (3, 3, 3), (2, 2, 2)),
+    (512, (3, 2, 2), (1, 1, 1)),
+    (512, (2, 1, 1), (1, 1, 1)),
+)
+
+
 class Conv3DBranch(nn.Module):
     """Strided 3D CNN over (B, T, H, W, C) -> (B, ndense_units)."""
 
@@ -82,14 +94,7 @@ class Conv3DBranch(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         act = _act(self.activation, self.leaky_alpha)
-        spec = [  # (filters, kernel, strides) — mj_uwyhNets_ba.py:347-363
-            (64, (3, 5, 5), (1, 2, 2)),
-            (128, (3, 3, 3), (1, 2, 2)),
-            (256, (3, 3, 3), (2, 2, 2)),
-            (512, (3, 3, 3), (2, 2, 2)),
-            (512, (3, 2, 2), (1, 1, 1)),
-            (512, (2, 1, 1), (1, 1, 1)),
-        ]
+        spec = CONV3D_SPEC
         for i, (f, k, s) in enumerate(spec):
             x = nn.Conv(f, k, strides=s, padding="VALID", kernel_init=glorot,
                         dtype=self.dtype, name=f"conv{i}")(x)

@@ -1,7 +1,21 @@
-"""Int8 quantized inference path for the GaitSet encoder.
+"""Int8 quantized inference paths for every branch family.
 
 Serving-oriented speedup (opt-in, never used in training). Design, driven by
 measurement on v5e:
+
+  * gaitset (below): frame stream int8-resident — a measured WASH vs bf16
+    at its 32-128-channel shapes (kept as a validated option);
+  * conv2d / conv3d branches (end of file): implemented + parity-pinned
+    (cosine 0.9996+), but ALSO measured slower than the float path at the
+    branches' real shapes on v5e — conv2d encode 0.50-0.59x (B=32/128),
+    conv3d 0.66x (benchmarks/proto_int8_branch.py).  An isolated conv
+    stack with 512-wide layers shows int8 ahead, but the branch's actual
+    conv1 consumes T*C=25..50 input planes and the end-to-end encode loses
+    it back.  Status: validated OPTIONAL paths (capacity/transport use
+    cases), not a speed recommendation — revisit if libtpu int8 convs
+    improve (same verdict as rounds 1+2 reached for gaitset).
+
+GaitSet specifics:
 
   * conv weights: int8 with per-output-channel scales;
   * activations of the FRAME stream (the B*T-sized hot path) stay int8
@@ -34,9 +48,10 @@ _B_CONVS = [f"b_conv{i}" for i in range(1, 5)]
 
 
 def quantize_weight(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """(kh, kw, cin, cout) -> int8 weights + per-cout scales."""
+    """(..., cin, cout) conv kernel -> int8 weights + per-cout scales
+    (reduces over every axis but the last; works for 2D and 3D kernels)."""
     w = w.astype(jnp.float32)
-    s = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0
+    s = jnp.max(jnp.abs(w), axis=tuple(range(w.ndim - 1))) / 127.0
     s = jnp.maximum(s, 1e-12)
     wq = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
     return wq, s
@@ -193,21 +208,166 @@ def gaitset_branch_int8(qparams: Dict[str, Any], x: jax.Array,
     return out.astype(jnp.float32)
 
 
+# ---------------------------------------------------------------------
+# conv2d / conv3d branch int8 paths (VERDICT r4 ask #7).
+#
+# Implemented + parity-pinned (tests/test_quantize.py, cosine 0.9996+ on
+# CPU and TPU), closing the former NotImplementedError scope cliff.  Perf
+# verdict from v5e measurement (benchmarks/proto_int8_branch.py,
+# 2026-08-19): an ISOLATED 512-wide conv stack shows int8 ahead of a
+# naive bf16 stack, but the real branches measured end-to-end LOSE —
+# conv2d encode 0.50-0.59x vs the float model path (B=32/128), conv3d
+# 0.66x (the branch conv1 eats T*C=25..50 input planes and XLA's f32/bf16
+# fusions win the full pipeline).  Same conclusion rounds 1+2 reached for
+# the gaitset stream: int8 convs on this hardware/model are a capacity
+# option, not a speed one.
+# ---------------------------------------------------------------------
+
+
+def calibrate_conv2d_branch(branch_params: Dict[str, Any], x: jax.Array,
+                            cfg: BranchConfig) -> Dict[str, float]:
+    """fp32 forward over a calibration volume recording each conv INPUT
+    abs-max.  x: (B, T, H, W, C) raw volume (reshaped to the branch's
+    (B, H, W, T*C) planes here, mirroring models/network.py:branch_input).
+    """
+    from ugaitnet_tpu.models.branches import _act
+    from ugaitnet_tpu.models.network import branch_input
+    act = _act(cfg.activation, cfg.leaky_alpha)
+    v = branch_input(cfg, x).astype(jnp.float32)
+    n = len(cfg.filters_numbers)
+    scales: Dict[str, float] = {}
+    for i in range(n):
+        scales[f"conv{i}"] = float(
+            jnp.maximum(jnp.max(jnp.abs(v)) / 127.0, 1e-12))
+        m = branch_params[f"conv{i}"]
+        v = lax.conv_general_dilated(
+            v, m["kernel"].astype(jnp.float32), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + m["bias"]
+        v = act(v)
+        if i != n - 1:
+            v = lax.reduce_window(v, -jnp.inf, lax.max, (1, 2, 2, 1),
+                                  (1, 2, 2, 1), "VALID")
+    return scales
+
+
+def conv2d_branch_int8(qparams: Dict[str, Any], x: jax.Array,
+                       cfg: BranchConfig) -> jax.Array:
+    """Quantized mirror of Conv2DBranch.__call__ (models/branches.py:38):
+    int8-resident convs with static input scales + exact int8 max-pools
+    (requant is monotone, so pool/requant commute); dense + code stay
+    float (batch-sized, cheap); inference path, dropout off."""
+    from ugaitnet_tpu.models.branches import _act
+    from ugaitnet_tpu.models.network import branch_input
+    act = _act(cfg.activation, cfg.leaky_alpha)
+    v = branch_input(cfg, x).astype(jnp.float32)
+    n = len(cfg.filters_numbers)
+    q = _requant(v, qparams["conv0"]["in_scale"])
+    y = None
+    for i in range(n):
+        m = qparams[f"conv{i}"]
+        y = lax.conv_general_dilated(
+            q, m["kernel_q"], (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        y = act(y.astype(jnp.float32) * (m["in_scale"] * m["w_scale"])
+                + m["bias"])
+        if i != n - 1:
+            q = _maxpool_i8(_requant(y, qparams[f"conv{i+1}"]["in_scale"]))
+    v = y.reshape(y.shape[0], -1)
+    v = v @ qparams["dense"]["kernel"].astype(jnp.float32) \
+        + qparams["dense"]["bias"]
+    v = v @ qparams["code"]["kernel"].astype(jnp.float32) \
+        + qparams["code"]["bias"]
+    return v.astype(jnp.float32)
+
+
+def calibrate_conv3d_branch(branch_params: Dict[str, Any], x: jax.Array,
+                            cfg: BranchConfig) -> Dict[str, float]:
+    """fp32 forward over a (B, T, H, W, C) volume recording each strided
+    conv's INPUT abs-max (models/branches.py:CONV3D_SPEC)."""
+    from ugaitnet_tpu.models.branches import CONV3D_SPEC, _act
+    act = _act(cfg.activation, cfg.leaky_alpha)
+    v = x.astype(jnp.float32)
+    scales: Dict[str, float] = {}
+    for i, (_, k, s) in enumerate(CONV3D_SPEC):
+        scales[f"conv{i}"] = float(
+            jnp.maximum(jnp.max(jnp.abs(v)) / 127.0, 1e-12))
+        m = branch_params[f"conv{i}"]
+        v = lax.conv_general_dilated(
+            v, m["kernel"].astype(jnp.float32), s, "VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + m["bias"]
+        v = act(v)
+    return scales
+
+
+def conv3d_branch_int8(qparams: Dict[str, Any], x: jax.Array,
+                       cfg: BranchConfig) -> jax.Array:
+    """Quantized mirror of Conv3DBranch.__call__ (models/branches.py):
+    the six strided VALID convs run int8-resident; the 1x1x1 code conv
+    stays float."""
+    from ugaitnet_tpu.models.branches import CONV3D_SPEC, _act
+    act = _act(cfg.activation, cfg.leaky_alpha)
+    q = _requant(x.astype(jnp.float32), qparams["conv0"]["in_scale"])
+    y = None
+    last = len(CONV3D_SPEC) - 1
+    for i, (_, k, s) in enumerate(CONV3D_SPEC):
+        m = qparams[f"conv{i}"]
+        y = lax.conv_general_dilated(
+            q, m["kernel_q"], s, "VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.int32)
+        y = act(y.astype(jnp.float32) * (m["in_scale"] * m["w_scale"])
+                + m["bias"])
+        if i != last:
+            q = _requant(y, qparams[f"conv{i+1}"]["in_scale"])
+    m = qparams["code"]
+    y = lax.conv_general_dilated(
+        y, m["kernel"].astype(jnp.float32), (1, 1, 1), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + m["bias"]
+    return y.reshape(y.shape[0], -1).astype(jnp.float32)
+
+
 def quantize_model_params(params: Any, mcfg: ModelConfig,
                           calib_volumes: Sequence[jax.Array]
                           ) -> Dict[str, Any]:
-    """Calibrate + quantize every gaitset branch of a UGaitNet params tree.
+    """Calibrate + quantize every branch of a UGaitNet params tree
+    (gaitset frame stream, conv2d conv stack, conv3d conv stack — see the
+    per-kind docstrings for what stays float).
 
     calib_volumes: one representative (B, T, H, W, C_i) batch per branch.
     """
     p = params["params"] if "params" in params else params
     out = dict(p)
     for i, bcfg in enumerate(mcfg.branches):
-        if bcfg.kind != "gaitset":
-            raise NotImplementedError("int8 path covers gaitset branches")
         key = f"branch_{bcfg.modality}"
-        calib = calibrate_branch(p[key], calib_volumes[i], bcfg)
-        out[key] = quantize_branch_params(p[key], calib)
+        if bcfg.kind == "gaitset":
+            calib = calibrate_branch(p[key], calib_volumes[i], bcfg)
+            out[key] = quantize_branch_params(p[key], calib)
+        elif bcfg.kind == "conv2d":
+            calib = calibrate_conv2d_branch(p[key], calib_volumes[i], bcfg)
+            out[key] = quantize_sequential_branch_params(p[key], calib)
+        elif bcfg.kind == "conv3d":
+            calib = calibrate_conv3d_branch(p[key], calib_volumes[i], bcfg)
+            out[key] = quantize_sequential_branch_params(p[key], calib)
+        else:
+            raise ValueError(f"unknown branch kind {bcfg.kind!r}")
+    return out
+
+
+def quantize_sequential_branch_params(branch_params: Dict[str, Any],
+                                      calib: Dict[str, float]
+                                      ) -> Dict[str, Any]:
+    """Pre-quantize the calibrated conv kernels of a conv2d/conv3d branch
+    (biases stay f32, applied after dequant); dense/code stay float."""
+    out: Dict[str, Any] = {}
+    for name, mod in branch_params.items():
+        if name in calib:
+            wq, s = quantize_weight(mod["kernel"])
+            out[name] = {"kernel_q": wq, "w_scale": s,
+                         "in_scale": jnp.float32(calib[name]),
+                         "bias": mod["bias"].astype(jnp.float32)}
+        else:
+            out[name] = mod
     return out
 
 
@@ -219,9 +379,12 @@ def encode_int8(qparams: Dict[str, Any], volumes: Sequence[jax.Array],
     (serving semantics, see eval/serving.py)."""
     from ugaitnet_tpu.ops import fusion as F
 
+    kind_fns = {"gaitset": gaitset_branch_int8,
+                "conv2d": conv2d_branch_int8,
+                "conv3d": conv3d_branch_int8}
     embeddings = []
     for i, bcfg in enumerate(mcfg.branches):
-        e = gaitset_branch_int8(qparams[f"branch_{bcfg.modality}"],
+        e = kind_fns[bcfg.kind](qparams[f"branch_{bcfg.modality}"],
                                 volumes[i], bcfg)
         embeddings.append(F.gate(e, use_flags[i]))
     fused = F.MERGES[mcfg.merge](embeddings)
