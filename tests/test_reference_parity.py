@@ -605,3 +605,35 @@ def test_h5_import_eval_protocol_crosscheck(reference_model, tmp_path):
     res = eval_openset(gal, pro, knn=1)
     ref_rank1 = float(np.mean(ref_pred == p_lab))
     assert res["rank1_subseq"] == ref_rank1
+
+
+@pytest.mark.slow
+def test_training_dynamics_parity(tmp_path):
+    """Training-dynamics parity vs the ACTUAL TF stack (VERDICT r4 ask #1).
+
+    Identical init (ref glorot -> h5 -> transplant), identical fixed P x K
+    batches, dropout 0, both stacks stepped with the same legacy-Keras Adam
+    (ours: train_step.keras_adam) under the flagship loss weighting
+    [1.0 triplet, 0.1 CE] (mj_uwyhNets_ba.py:861-933 compile,
+    nets/triplet_loss_all.py:8-67).  Asserts the per-step TOTAL loss of the
+    two stacks agrees within fp32-accumulation tolerance, and that the raw
+    fused embeddings still agree after training.  The longer 10-step table
+    + head-to-head Rank-1/EER artifact lives in
+    benchmarks/results_training_parity.json (benchmarks/training_parity.py).
+    """
+    _ref_env()
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+    from benchmarks.training_parity import trajectory
+
+    res = trajectory(str(tmp_path), n_steps=4, batch=12, lr=1e-4)
+    for row in res["steps"]:
+        # fp32 backend chaos grows exponentially (documented in the
+        # artifact); within 4 steps it stays at accumulation scale
+        assert row["abs_diff"] < max(3e-3, 0.02 * abs(row["ref_loss"])), row
+    # step 0 is evaluated at IDENTICAL params: loss must match to fp32
+    # accumulation noise — this pins the loss assembly itself
+    assert res["steps"][0]["abs_diff"] < 5e-6, res["steps"][0]
+    # post-training raw fused embeddings (pre the batch-axis L2 quirk,
+    # which amplifies near-zero columns to +-1 noise) stay aligned in bulk
+    assert res["post_train_fused_cosine"] > 0.995, res
+    assert res["post_train_fused_rel_fro"] < 0.1, res

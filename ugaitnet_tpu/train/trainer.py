@@ -346,6 +346,16 @@ class Trainer:
                                       seed=seed,
                                       gait_groups=dcfg.gait_groups)
         state, epoch = self.init_or_resume(seed)
+        # deterministic crash-resume: the sampler carries cross-epoch
+        # pointer/shuffle state (reference parity), so a fresh sampler at
+        # epoch k would feed DIFFERENT batches than the uninterrupted run's
+        # epoch k.  Fast-forward it (index arithmetic only, microseconds
+        # per epoch) so a killed-and-restarted run replays the exact batch
+        # sequence — pinned end-to-end by
+        # tests/test_trainer_controllers.py::test_kill_and_resume_e2e.
+        for _ in range(epoch):
+            for _ in sampler.epoch():
+                pass
         val_pipe = None
         if len(val_idx) > 0:
             import dataclasses
