@@ -37,6 +37,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "once, so the platform's compile cache is "
                         "populated and a serving process's first query "
                         "is steady-state")
+    p.add_argument("--keras-h5", type=str, default="",
+                   help="ALSO write the checkpoint as a reference-layout "
+                        "Keras h5 weights file at this path (loadable by "
+                        "the original repo's mains) — requires "
+                        "--keras-template")
+    p.add_argument("--keras-template", type=str, default="",
+                   help="an h5 produced by the reference architecture's "
+                        "save_weights (e.g. any of its per-epoch "
+                        "checkpoints); layer names/counters are copied "
+                        "from it (utils/keras_export.py)")
     return p
 
 
@@ -50,6 +60,16 @@ def main(argv=None):
 
     model, state, mcfg, step = load_experiment(args.experdir, args.epoch)
     modalities = tuple(b.modality for b in mcfg.branches)
+    if args.keras_h5:
+        if not args.keras_template:
+            raise SystemExit("--keras-h5 needs --keras-template (an h5 "
+                             "saved by the reference build — its layer "
+                             "names carry process-global counters we "
+                             "cannot synthesize)")
+        from ugaitnet_tpu.utils.keras_export import export_keras_weights
+        export_keras_weights(state.params, args.keras_h5,
+                             args.keras_template)
+        print(f"* wrote reference-layout Keras weights -> {args.keras_h5}")
     # models trained with --normstats persist their standardization; bake
     # it into the artifact or the served net sees inputs on the wrong
     # scale (same rule as cli/evaluate.py)
