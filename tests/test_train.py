@@ -127,8 +127,47 @@ def test_loss_converges_dp_mesh(setup):
 
 
 def test_optimizers_construct():
-    for name in ("adam", "sgd", "amsgrad", "adamw"):
+    for name in ("adam", "adam_keras", "sgd", "amsgrad", "adamw"):
         make_optimizer(TrainConfig(optimizer=name))
+
+
+def test_keras_adam_matches_keras_update_rule():
+    """keras_adam must track the EXACT Keras Adam recurrence (numpy oracle:
+    alpha_t = lr*sqrt(1-b2^t)/(1-b1^t); p -= alpha_t*m/(sqrt(v)+eps)) for
+    multiple steps, and must NOT coincide with optax.adam (whose epsilon
+    lands on the bias-corrected denominator) — the difference is the whole
+    point of the optimizer (train_step.py:keras_adam)."""
+    import optax
+    from ugaitnet_tpu.train.train_step import keras_adam
+
+    lr, b1, b2, eps = 1e-3, 0.9, 0.999, 1e-7
+    rng = np.random.RandomState(3)
+    p0 = rng.randn(5, 3).astype(np.float32)
+    # tiny gradients: sqrt(v) ~ eps is exactly where the two epsilon
+    # placements diverge (large grads make both forms agree to fp noise)
+    grads = [rng.randn(5, 3).astype(np.float32) * 1e-6 for _ in range(4)]
+
+    # numpy oracle
+    p, m, v = p0.copy(), np.zeros_like(p0), np.zeros_like(p0)
+    for t, g in enumerate(grads, start=1):
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        alpha = lr * np.sqrt(1 - b2 ** t) / (1 - b1 ** t)
+        p = p - alpha * m / (np.sqrt(v) + eps)
+
+    def run(tx):
+        params = jnp.asarray(p0)
+        st = tx.init(params)
+        for g in grads:
+            upd, st = tx.update(jnp.asarray(g), st, params)
+            params = optax.apply_updates(params, upd)
+        return np.asarray(params)
+
+    ours = run(keras_adam(lr, b1, b2, eps))
+    np.testing.assert_allclose(ours, p, rtol=1e-6, atol=1e-7)
+
+    theirs = run(optax.adam(lr, b1=b1, b2=b2, eps=eps))
+    assert np.max(np.abs(theirs - p)) > 1e-5  # optax form really differs
 
 
 def test_aux_and_focal_losses_run():

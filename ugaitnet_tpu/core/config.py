@@ -200,7 +200,9 @@ class DataConfig:
 
 @dataclass(frozen=True)
 class TrainConfig:
-    optimizer: str = "adam"  # adam | sgd | amsgrad | adamw
+    # adam | adam_keras (exact Keras update, trajectory-faithful for
+    # migrated reference checkpoints) | sgd | amsgrad | adamw
+    optimizer: str = "adam"
     lr: float = 1e-4
     momentum: float = 0.9
     epochs: int = 75

@@ -116,7 +116,7 @@ def _head_forward(cfg: ModelConfig, embeddings: Sequence[jax.Array],
         fused = gated[0]
         sig = fused
 
-    out: Dict[str, jax.Array] = {"branches": gated}
+    out: Dict[str, jax.Array] = {"branches": gated, "fused": fused}
     head_in = sig
     if cfg.extra_dense:
         act = _act(cfg.branches[0].activation,

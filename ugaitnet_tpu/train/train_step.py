@@ -35,6 +35,47 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
+def keras_adam(learning_rate, b1: float = 0.9, b2: float = 0.999,
+               eps: float = 1e-7) -> optax.GradientTransformation:
+    """EXACT Keras Adam (both tf_keras legacy and 2.11+ Adam use this form):
+
+        alpha_t = lr * sqrt(1 - b2^t) / (1 - b1^t)
+        m_t = b1*m + (1-b1)*g ;  v_t = b2*v + (1-b2)*g^2
+        p  -= alpha_t * m_t / (sqrt(v_t) + eps)
+
+    optax.adam instead computes m_hat/(sqrt(v_hat) + eps): the epsilon
+    lands on the BIAS-CORRECTED sqrt(v) (equivalent to eps*sqrt(1-b2^t)
+    in the Keras form), so the two diverge measurably over a trajectory
+    at keras's large default eps=1e-7.  This form makes N optimizer steps
+    here bit-track N Keras steps (benchmarks/training_parity.py), which
+    matters for migrating mid-training reference checkpoints.
+    Matches /root/reference mains' compile optimizer ('Adam', e.g.
+    mains/mj_trainUWYHGaitNet_DataGen_2mod.py) stepped by Keras.
+    """
+    def init(params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(jnp.zeros_like, params),
+            nu=jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update(updates, state, params=None):
+        del params
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, updates)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1.0 - b2) * jnp.square(g),
+            state.nu, updates)
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        alpha = (learning_rate * jnp.sqrt(1.0 - jnp.float32(b2) ** t)
+                 / (1.0 - jnp.float32(b1) ** t))
+        out = jax.tree_util.tree_map(
+            lambda m, v: -alpha * m / (jnp.sqrt(v) + eps), mu, nu)
+        return out, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """All optimizers are wrapped in inject_hyperparams so the learning rate
     lives in opt_state and host-side schedulers (train/schedule.py) can
@@ -42,6 +83,8 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     name = cfg.optimizer.lower()
     if name == "adam":
         return optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
+    if name == "adam_keras":
+        return optax.inject_hyperparams(keras_adam)(learning_rate=cfg.lr)
     if name == "amsgrad":
         return optax.inject_hyperparams(optax.amsgrad)(learning_rate=cfg.lr)
     if name == "adamw":
