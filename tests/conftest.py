@@ -12,6 +12,12 @@ import os
 import sys
 
 os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
+# Pin TF (the reference-parity oracle) to one thread BEFORE any test
+# initializes its context: on this 1-core host TF's default inter-op pool
+# spin-waits and quadruples jax step times in the same process (measured
+# 62 s vs 16 s for the flagship grad, benchmarks/training_parity.py).
+os.environ.setdefault("TF_NUM_INTRAOP_THREADS", "1")
+os.environ.setdefault("TF_NUM_INTEROP_THREADS", "1")
 
 if os.environ.get("UGAITNET_TPU_TESTS"):
     # hardware integration mode (tests/test_integration_tpu.py): keep the

@@ -23,6 +23,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ugaitnet_tpu.ops.pooling import max_pool_2x2
+
 glorot = nn.initializers.glorot_uniform()
 he_uniform = nn.initializers.he_uniform()
 
@@ -59,7 +61,7 @@ class Conv2DBranch(nn.Module):
                         dtype=self.dtype, name=f"conv{i}")(x)
             x = act(x)
             if i != n - 1:
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                x = max_pool_2x2(x)
         x = x.reshape(x.shape[0], -1)
         x = nn.Dense(self.ndense_units * 2, kernel_init=glorot,
                      dtype=self.dtype, name="dense")(x)

@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ugaitnet_tpu.ops.pooling import max_pool_2x2
+
 glorot = nn.initializers.glorot_uniform()
 
 
@@ -96,10 +98,15 @@ def _set_max(a: jax.Array, seq_axis: str = "") -> jax.Array:
     owning shard; lax.pmax has no batching/differentiation rule) + a tiny
     (B, n_shards, H, W, C) max."""
     t = a.shape[1]
-    out = lax.reduce_window(
-        a, -jnp.inf, lax.max,
-        (1, t, 1, 1, 1), (1, t, 1, 1, 1), "VALID")
-    out = jnp.squeeze(out, axis=1)
+    if jax.default_backend() == "tpu":
+        out = lax.reduce_window(
+            a, -jnp.inf, lax.max,
+            (1, t, 1, 1, 1), (1, t, 1, 1, 1), "VALID")
+        out = jnp.squeeze(out, axis=1)
+    else:
+        # XLA:CPU's SelectAndScatter backward is a scalar loop (16x the
+        # jnp.max form, see ops/pooling.py); values are identical
+        out = jnp.max(a, axis=1)
     if seq_axis:
         out = jnp.max(lax.all_gather(out, seq_axis, axis=1), axis=1)
     return out
@@ -154,7 +161,7 @@ class GaitSetBranch(nn.Module):
         # rounded leaky-relu, and it runs the activation on 4x (pool) /
         # 25x (set pool) less data.
 
-        pool = lambda v: nn.max_pool(v, (1, 2, 2), strides=(1, 2, 2))
+        pool = max_pool_2x2  # backend-aware: ops/pooling.py
 
         # --- frame stream, stage 1 (TimeDistributed == unit-T NDHWC convs)
         a = lrelu(self._conv(c1, 5, "a_conv1")(x))
@@ -165,7 +172,7 @@ class GaitSetBranch(nn.Module):
         sb = _set_max(a, self.seq_axis)                        # set pool
         sb = lrelu(self._bconv(c2, 3, "b_conv1")(sb))
         sb = self._bconv(c2, 3, "b_conv2")(sb)
-        sb = lrelu(nn.max_pool(sb, (2, 2), strides=(2, 2)))    # (B, 16, 16, c2)
+        sb = lrelu(max_pool_2x2(sb))                           # (B, 16, 16, c2)
 
         # --- frame stream, stage 2
         a = lrelu(self._conv(c2, 3, "a_conv3")(a))
