@@ -97,11 +97,18 @@ def _ref_env():
         pass  # already initialized (env vars above still applied) or no TF
 
 
-def build_reference(lr: float, nclasses: int = 74):
+def build_reference(lr: float, nclasses: int = 74, seed: int = 0):
     """The flagship 2-mod gaitset net, compiled exactly as the training
     mains do (mj_uwyhNets_ba.py:861-933): [triplet(0.2), CCE] at
-    loss_weights [1.0, 0.1], Keras Adam."""
+    loss_weights [1.0, 0.1], Keras Adam.
+
+    seed pins TF's glorot draw: the step-0 loss diff between the stacks is
+    pure fp32 accumulation noise, whose magnitude VARIES with the init
+    (measured 2e-6 .. 3e-5 across unseeded draws) — reproducible artifacts
+    and stable test thresholds need the draw fixed."""
     _ref_env()
+    import tensorflow as tf
+    tf.keras.utils.set_random_seed(seed)
     from nets.mj_uwyhNets_ba import UWYHSemiNet
     from tensorflow.keras.layers import Maximum
     from tensorflow.keras import optimizers

@@ -631,8 +631,11 @@ def test_training_dynamics_parity(tmp_path):
         # artifact); within 4 steps it stays at accumulation scale
         assert row["abs_diff"] < max(3e-3, 0.02 * abs(row["ref_loss"])), row
     # step 0 is evaluated at IDENTICAL params: loss must match to fp32
-    # accumulation noise — this pins the loss assembly itself
-    assert res["steps"][0]["abs_diff"] < 5e-6, res["steps"][0]
+    # accumulation noise — this pins the loss assembly itself.  The noise
+    # magnitude depends on the (now seeded) init draw; measured 2e-6..3e-5
+    # across draws, so 1e-4 keeps 3x headroom while still catching any
+    # systematic weighting/margin/regularizer mismatch (those are O(1e-2+))
+    assert res["steps"][0]["abs_diff"] < 1e-4, res["steps"][0]
     # post-training raw fused embeddings (pre the batch-axis L2 quirk,
     # which amplifies near-zero columns to +-1 noise) stay aligned in bulk
     assert res["post_train_fused_cosine"] > 0.995, res
