@@ -1,6 +1,7 @@
 """Joint-dataset (BothDatasets) regime + pair verification training."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -44,6 +45,7 @@ def test_norm_stats_standardize():
     assert 0.5 < of.std() < 2.0
 
 
+@pytest.mark.slow
 def test_joint_training_semi_hard_focal():
     _, _, j = _joint()
     mcfg = ModelConfig(
@@ -128,6 +130,7 @@ def test_grouped_sampler_rejects_bad_length():
         pass
 
 
+@pytest.mark.slow
 def test_pair_verification_training():
     ds = make_synthetic_dataset(num_subjects=4, seed=0)
     mcfg = ModelConfig(
@@ -161,6 +164,7 @@ def test_pair_verification_training():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_norm_stats_persist_and_eval_roundtrip(tmp_path):
     """--normstats training persists norm_stats.npz with the experiment;
     cli.evaluate auto-loads it, and the standardized codes actually differ

@@ -32,6 +32,7 @@ def workflow(tmp_path_factory):
     return data, os.path.join(exper, runs[0])
 
 
+@pytest.mark.slow
 def test_train_wrote_config_and_checkpoint(workflow):
     _, experdir = workflow
     cfg = json.load(open(os.path.join(experdir, "config.json")))
@@ -40,6 +41,7 @@ def test_train_wrote_config_and_checkpoint(workflow):
     assert ckpt.latest_checkpoint_step(experdir) is not None
 
 
+@pytest.mark.slow
 def test_evaluate_cli(workflow, capsys):
     data, experdir = workflow
     from ugaitnet_tpu.cli.evaluate import main as eval_main
@@ -63,6 +65,7 @@ def test_evaluate_cli(workflow, capsys):
     assert cm.sum() == cm.trace() and cm.sum() > 0
 
 
+@pytest.mark.slow
 def test_evaluate_cli_dp_mesh_matches(workflow, capsys):
     """--dp 8 shards the encode over the CPU mesh; the protocol results
     must match the single-device run (codes agree to ~1e-7, and the kNN
@@ -84,6 +87,7 @@ def test_evaluate_cli_dp_mesh_matches(workflow, capsys):
     assert pick(sharded) == pick(single)
 
 
+@pytest.mark.slow
 def test_export_and_serve_from_artifact(workflow, tmp_path):
     data, experdir = workflow
     from ugaitnet_tpu.cli.export_model import main as export_main

@@ -116,6 +116,7 @@ def trained():
     return ds, model, state, m
 
 
+@pytest.mark.slow
 def test_end_to_end_openworld(trained):
     ds, model, state, metrics = trained
     assert np.isfinite(float(metrics["loss"]))
@@ -134,6 +135,7 @@ def test_end_to_end_openworld(trained):
         assert res["rank1_video"] >= res["rank1_subseq"] - 0.2
 
 
+@pytest.mark.slow
 def test_openset_video_merged(trained):
     ds, model, state, _ = trained
     ecfg = EvalConfig(knn=3, typecode=3, batch_size=32)
@@ -143,6 +145,7 @@ def test_openset_video_merged(trained):
     assert res["rank1_video_merged"] > 0.8
 
 
+@pytest.mark.slow
 def test_missing_modality_eval_combo(trained):
     ds, model, state, _ = trained
     ecfg = EvalConfig(knn=3, typecode=3, batch_size=32)
@@ -152,6 +155,7 @@ def test_missing_modality_eval_combo(trained):
     assert res["of+gray"]["rank1_subseq"] >= 0.5
 
 
+@pytest.mark.slow
 def test_encode_mirror_doubles(trained):
     ds, model, state, _ = trained
     codes, labels, vids, cams = encode_dataset(
@@ -161,6 +165,7 @@ def test_encode_mirror_doubles(trained):
     assert labels.shape[0] == 2 * len(ds)
 
 
+@pytest.mark.slow
 def test_gallery_cache_roundtrip(tmp_path, trained):
     ds, model, state, _ = trained
     ecfg = EvalConfig(batch_size=32)
@@ -192,6 +197,7 @@ def test_casenet_c_code_tap_eval():
     assert codes.shape == (len(ds), 62 * 16)
 
 
+@pytest.mark.slow
 def test_encode_dataset_mesh_matches_single_device(trained):
     """Data-parallel gallery encoding over the 8-device mesh must match the
     single-device path. Not bit-exact: with l2_mode="reference" the
@@ -210,6 +216,7 @@ def test_encode_dataset_mesh_matches_single_device(trained):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_encode_dataset_mesh_rejects_indivisible_batch(trained):
     from ugaitnet_tpu.parallel.sharding import make_mesh
     ds, model, state, _ = trained
@@ -231,6 +238,7 @@ def test_knn_sharded_gallery_matches_single_device():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_encode_tail_batch_padding_is_exact(trained):
     """The padded trailing batch must produce the same codes as encoding
     those samples alone: padded rows carry use_flags==0, so under the
@@ -295,6 +303,7 @@ def test_merge_codes_per_video_matches_reference_loop():
             assert labels[i] == labs[np.argmax(cnt)]
 
 
+@pytest.mark.slow
 def test_all_combos_memo_rekeys_on_config_change(trained):
     """A gallery memo built under use_avg=True must NOT be served to a
     use_avg=False call (mean- vs max-pooled merged codes)."""
@@ -311,6 +320,7 @@ def test_all_combos_memo_rekeys_on_config_change(trained):
     assert not np.allclose(memo["merged"][0], merged1)
 
 
+@pytest.mark.slow
 def test_encode_dataset_empty_selection_raises(trained):
     ds, model, state, _ = trained
     with pytest.raises(ValueError, match="no samples"):

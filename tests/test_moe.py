@@ -185,6 +185,7 @@ def test_pipeline_rejects_moe():
                                  mcfg, tcfg, devices=jax.devices()[:2])
 
 
+@pytest.mark.slow
 def test_train_cli_moe_ep_end_to_end(tmp_path):
     """--moe 4 --ndevices 2 --ep 2 through the real CLI: the Trainer
     detects the (data, expert) mesh, places EP-sharded state, and the run

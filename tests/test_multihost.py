@@ -81,6 +81,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_process_multihost_input(tmp_path):
     port = _free_port()
     wpath = tmp_path / "worker.py"

@@ -94,6 +94,7 @@ def test_gridded_kernel_past_128():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_very_large_batch_falls_back_to_xla():
     """B > MAX_GRID_B routes to the XLA formulation with identical values
     (no pallas involved, so it runs anywhere without interpret)."""

@@ -138,6 +138,7 @@ def test_pipeline_adam_steps_finite_and_decreasing(setup):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_train_cli_pp_end_to_end(tmp_path):
     """--pp 2 through the real CLI: the Trainer builds the pipeline step,
     trains, checkpoints, and the config records the mode."""

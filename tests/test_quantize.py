@@ -106,6 +106,7 @@ def _conv_branch_cfg(kind, modality):
                         activation="relu")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("kind", ["conv2d", "conv3d"])
 def test_int8_encode_conv_branches(kind):
     """int8 encode for the conv2d/conv3d families (VERDICT r4 ask #7):

@@ -144,6 +144,7 @@ def test_sp_steps_decrease(setup):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_train_cli_sp_end_to_end(tmp_path):
     """--ndevices 2 --sp 2 through the real CLI: the Trainer detects the
     (data, seq) mesh, pads/shards batches over it, checkpoints, and the

@@ -260,6 +260,7 @@ def test_multi_source_norm_stats_end_to_end(tmp_path):
         enc.encode({k: v for k, v in feed.items() if k != "source"})
 
 
+@pytest.mark.slow
 def test_mesh_sharded_gallery_parity(service):
     """Pod-scale serving (VERDICT r4 ask #2): the mesh-sharded gallery
     (rows over the data axis, probes replicated, GSPMD top-k merge) must

@@ -124,6 +124,7 @@ def test_tp_step_matches_single_device(setup, dp, mp):
         assert pp.sharding.shard_shape(pp.shape)[0] == pp.shape[0] // mp
 
 
+@pytest.mark.slow
 def test_train_cli_tp_end_to_end(tmp_path):
     """--ndevices 2 --tp 2 through the real CLI: the Trainer detects the
     2D mesh, places TP-sharded state, checkpoints it (orbax must handle

@@ -98,6 +98,7 @@ def _run_steps(ds, pipe, mcfg, tcfg, step_fn, state, nsteps, to_batch=None):
     return losses
 
 
+@pytest.mark.slow
 def test_loss_converges_single_device(setup):
     """30 steps must HALVE the loss, not merely tick down (VERDICT r3 #9):
     a sampler/augment/optimizer bug that plateaus training at chance
@@ -112,6 +113,7 @@ def test_loss_converges_single_device(setup):
     assert losses[-1] < 0.5 * losses[0], losses
 
 
+@pytest.mark.slow
 def test_loss_converges_dp_mesh(setup):
     """Same halving bar for the GSPMD data-parallel step."""
     ds, model, tx, _, pipe, mcfg, _ = setup
@@ -196,6 +198,7 @@ def test_aux_and_focal_losses_run():
     assert float(metrics["reg"]) > 0  # conv2d branches carry L2 reg
 
 
+@pytest.mark.slow
 def test_trainer_with_mesh_end_to_end(tmp_path):
     """Trainer on the 8-device data-parallel mesh: epochs, checkpoints,
     validation — the full loop under GSPMD."""
