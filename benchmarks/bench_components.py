@@ -211,7 +211,8 @@ def main():
 
         def one(padded=padded):
             return svc._identify(svc.params, padded, svc._gallery_codes,
-                                 svc._gallery_dense, len(svc._ulabels), 3)
+                                 svc._gallery_dense, svc._gallery_bias,
+                                 svc._label_capacity, 3)
 
         def sync(r):
             float(r[1][0, 0])

@@ -84,25 +84,27 @@ def main():
         rof = jnp.asarray(raw["raw_of"])
         rgr = jnp.asarray(raw["raw_gray"])
         gal, gald = svc._gallery_codes, svc._gallery_dense
-        ident = svc._identify  # jitted (params, raw, gallery, dense, n, k)
-        n_classes = len(svc._ulabels)
+        galb = svc._gallery_bias
+        ident = svc._identify  # jitted (params, raw, gal, dense, bias, n, k)
+        n_classes = svc._label_capacity
         iters = 20
 
         @jax.jit
-        def loop(params, rof, rgr, gal, gald):
+        def loop(params, rof, rgr, gal, gald, galb):
             def body(i, c):
                 r = {"raw_of": rof ^ i.astype(jnp.int16),
                      "raw_gray": rgr ^ i.astype(jnp.uint8),
                      "present_of": jnp.ones((b,), jnp.float32),
                      "present_gray": jnp.ones((b,), jnp.float32),
                      "labels": jnp.zeros((b,), jnp.int32)}
-                ii, dd = ident(params, r, gal, gald, n_classes, svc.knn)
+                ii, dd = ident(params, r, gal, gald, galb,
+                               n_classes, svc.knn)
                 return c + jnp.sum(dd).astype(jnp.float32)
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
-        float(loop(svc.params, rof, rgr, gal, gald))
+        float(loop(svc.params, rof, rgr, gal, gald, galb))
         t0 = time.perf_counter()
-        float(loop(svc.params, rof, rgr, gal, gald))
+        float(loop(svc.params, rof, rgr, gal, gald, galb))
         device_ms = (time.perf_counter() - t0) / iters * 1e3
 
         out["buckets"][str(b)] = {

@@ -173,12 +173,13 @@ def test_norm_stats_serving_matches_eval_encode():
     svc = SignatureService(model, params, ("of", "gray"), buckets=(8,),
                            norm_stats=stats)
     svc.build_gallery(ds, batch_size=8)
-    np.testing.assert_allclose(np.asarray(svc._gallery_codes), codes_eval,
+    # _host_codes holds the un-padded install codes (the device buffer is
+    # capacity-padded for incremental enrollment)
+    np.testing.assert_allclose(svc._host_codes, codes_eval,
                                rtol=2e-5, atol=1e-6)
     svc0 = SignatureService(model, params, ("of", "gray"), buckets=(8,))
     svc0.build_gallery(ds, batch_size=8)
-    assert not np.allclose(np.asarray(svc0._gallery_codes), codes_eval,
-                           atol=1e-4)
+    assert not np.allclose(svc0._host_codes, codes_eval, atol=1e-4)
 
 
 def test_norm_stats_missing_modality_rejected():
@@ -233,7 +234,7 @@ def test_multi_source_norm_stats_end_to_end(tmp_path):
     svc.build_gallery(ds, batch_size=8)
     # pre-fix, build_gallery standardized every sample with row 0 and the
     # source=1 half of the gallery silently diverged from the eval path
-    np.testing.assert_allclose(np.asarray(svc._gallery_codes), codes_eval,
+    np.testing.assert_allclose(svc._host_codes, codes_eval,
                                rtol=2e-5, atol=1e-6)
 
     # multi-source queries must declare their dataset
@@ -258,6 +259,90 @@ def test_multi_source_norm_stats_end_to_end(tmp_path):
     np.testing.assert_allclose(got, codes_eval[:8], rtol=2e-5, atol=1e-6)
     with pytest.raises(ValueError, match="source"):
         enc.encode({k: v for k, v in feed.items() if k != "source"})
+
+
+@pytest.mark.parametrize("dtype", ["float32", "int8"])
+def test_enroll_remove_no_recompile(service, dtype):
+    """Production enrollment contract: enroll()/remove() within capacity
+    change NO traced shape or static argument, so the jitted _identify
+    never recompiles (capacity-padded gallery + class capacity + the
+    distance-bias tombstone vector); results match a freshly built
+    service over the same rows (sorted-unique dense ids, per-row int8
+    quantization is append-independent)."""
+    ds, base = service
+    model, params = base.model, base.params
+    svc = SignatureService(model, params, ("of", "gray"), knn=3,
+                           buckets=(4, 16), gallery_dtype=dtype)
+    codes = svc.encode_raw({"raw_of": ds.modalities["of"].volumes,
+                            "raw_gray": ds.modalities["gray"].volumes})
+    svc.set_gallery(codes[:20], ds.labels[:20])  # capacity 32: headroom
+    raw = {"raw_of": ds.modalities["of"].volumes[:6],
+           "raw_gray": ds.modalities["gray"].volumes[:6]}
+    np.testing.assert_array_equal(svc.identify_raw(raw)[0], ds.labels[:6])
+    compiles = svc._identify._cache_size()
+
+    # enroll two brand-new identities from raw volumes
+    ds2 = make_synthetic_dataset(num_subjects=2, videos_per_subject=1,
+                                 subseqs_per_video=3, seed=99)
+    raw2 = {"raw_of": ds2.modalities["of"].volumes,
+            "raw_gray": ds2.modalities["gray"].volumes}
+    svc.enroll_raw(raw2, ds2.labels + 1000)
+    np.testing.assert_array_equal(svc.identify_raw(raw2)[0],
+                                  ds2.labels + 1000)
+    np.testing.assert_array_equal(svc.identify_raw(raw)[0], ds.labels[:6])
+    assert svc._identify._cache_size() == compiles, "enroll recompiled"
+
+    # parity vs a service built fresh over the same rows
+    fresh = SignatureService(model, params, ("of", "gray"), knn=3,
+                             buckets=(4, 16), gallery_dtype=dtype)
+    fresh.set_gallery(svc._host_codes, svc._host_labels)
+    for r in (raw, raw2):
+        la, da = svc.identify_raw(r)
+        lb, db = fresh.identify_raw(r)
+        np.testing.assert_array_equal(la, lb)
+        np.testing.assert_allclose(da, db, rtol=1e-5, atol=1e-5)
+
+    # remove tombstones via the bias vector only — no recompile, and the
+    # removed identities can no longer be predicted
+    assert svc.remove(np.unique(ds2.labels + 1000)) == len(ds2.labels)
+    assert not np.isin(svc.identify_raw(raw2)[0], ds2.labels + 1000).any()
+    np.testing.assert_array_equal(svc.identify_raw(raw)[0], ds.labels[:6])
+    assert svc._identify._cache_size() == compiles, "remove recompiled"
+
+    # growing past capacity rebuilds (compacting tombstones) and stays
+    # correct; capacity rebuild may legitimately recompile
+    svc.enroll(codes[20:], ds.labels[20:])
+    assert svc._gallery_size == 30
+    np.testing.assert_array_equal(svc.identify_raw(raw)[0], ds.labels[:6])
+
+
+@pytest.mark.slow
+def test_mesh_enroll_parity(service):
+    """Enrollment on the mesh-sharded gallery: device-side appends write
+    into the row-sharded buffers and predictions stay label-identical to
+    the single-device service."""
+    from ugaitnet_tpu.parallel.sharding import make_mesh
+
+    ds, base = service
+    model, params = base.model, base.params
+    codes = base.encode_raw({"raw_of": ds.modalities["of"].volumes,
+                             "raw_gray": ds.modalities["gray"].volumes})
+    raw = {"raw_of": ds.modalities["of"].volumes[:8],
+           "raw_gray": ds.modalities["gray"].volumes[:8]}
+    for dtype in ("float32", "int8"):
+        sharded = SignatureService(model, params, ("of", "gray"), knn=3,
+                                   buckets=(4, 16), gallery_dtype=dtype,
+                                   mesh=make_mesh(8))
+        sharded.set_gallery(codes[:20], ds.labels[:20])
+        compiles = sharded._identify._cache_size()
+        sharded.enroll(codes[20:], ds.labels[20:])
+        assert sharded._identify._cache_size() == compiles, dtype
+        single = SignatureService(model, params, ("of", "gray"), knn=3,
+                                  buckets=(4, 16), gallery_dtype=dtype)
+        single.set_gallery(codes, ds.labels)
+        np.testing.assert_array_equal(sharded.identify_raw(raw)[0],
+                                      single.identify_raw(raw)[0],
+                                      err_msg=dtype)
 
 
 @pytest.mark.slow

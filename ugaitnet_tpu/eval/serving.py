@@ -7,6 +7,18 @@ matrix lives in HBM, and one jitted call takes raw quantized clip volumes ->
 dequantize -> embed -> distance matmul on the MXU -> top-k vote, returning
 dense labels + neighbor distances. Query batches are padded to fixed bucket
 sizes so steady-state serving never recompiles.
+
+Incremental enrollment: the gallery lives in capacity-padded device buffers
+(power-of-two row capacity, power-of-two class capacity) with a (capacity,)
+f32 distance-bias vector marking dead slots (+1e12 — never reaches a top-k).
+`enroll()` appends new identities with a device-side dynamic_update_slice
+(only the new rows cross H2D) and `remove()` tombstones rows by flipping
+bias entries; neither changes any traced shape or static argument, so
+steady-state enrollment NEVER recompiles `_identify` — rebuilds happen only
+when capacity doubles (amortized log2(G) compiles over a gallery's life).
+The reference has no serving layer at all (its eval re-embeds the gallery
+per run, mains/mj_testUWYHGaitNet_open_casiab.py:328-429); this is the
+production surface it implies.
 """
 
 from __future__ import annotations
@@ -23,6 +35,13 @@ from ugaitnet_tpu.data.pipeline import preprocess_batch
 from ugaitnet_tpu.data.schema import GaitDataset
 from ugaitnet_tpu.eval.encode import _tap
 from ugaitnet_tpu.models.network import UGaitNet
+
+
+def _next_pow2(n: int, floor: int = 8) -> int:
+    """Smallest power of two >= max(n, floor) — the gallery/class capacity
+    quantum.  Power-of-two capacities keep the amortized recompile count at
+    log2(final gallery size) and land on MXU-friendly row counts."""
+    return 1 << max(floor - 1, n - 1).bit_length()
 
 
 class SignatureService:
@@ -108,8 +127,19 @@ class SignatureService:
         self.gallery_dtype = gallery_dtype
         self._gallery_codes = None  # f32 array, or (int8, scale, g2) tuple
         self._gallery_dense: Optional[jax.Array] = None
+        self._gallery_bias: Optional[jax.Array] = None  # (capacity,) 0/1e12
         self._ulabels: Optional[np.ndarray] = None
-        self._gallery_size = 0
+        self._gallery_size = 0      # LIVE rows (tombstones excluded)
+        # enrollment state: host masters stay row-aligned with the device
+        # buffers (tombstoned slots are kept in place until a capacity
+        # rebuild compacts them), so device-side appends need only the new
+        # rows on the wire
+        self._capacity = 0
+        self._label_capacity = 0
+        self._rows_used = 0         # slots consumed incl. tombstones
+        self._host_codes: Optional[np.ndarray] = None
+        self._host_labels: Optional[np.ndarray] = None
+        self._live: Optional[np.ndarray] = None
 
         # optional int8 encode (ops/quantize.py): requires pre-quantized
         # params (calibrated on representative volumes)
@@ -142,10 +172,13 @@ class SignatureService:
         # Label parity with the single-device service is pinned on the
         # virtual mesh (tests/test_serving.py).
         self.mesh = mesh
+        self._row_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
             self.params = jax.device_put(
                 self.params, NamedSharding(mesh, PartitionSpec()))
+            self._row_sharding = NamedSharding(
+                mesh, PartitionSpec(mesh.axis_names[0]))
 
         def _prep(raw):
             if self._norm is not None:
@@ -163,7 +196,8 @@ class SignatureService:
                 normalize=self._norm is not None)
 
         @functools.partial(jax.jit, static_argnames=("n_classes", "k"))
-        def _identify(params, raw, gallery, gallery_dense, n_classes, k):
+        def _identify(params, raw, gallery, gallery_dense, gallery_bias,
+                      n_classes, k):
             vols, flags, _ = _prep(raw)
             if self.quantized:
                 from ugaitnet_tpu.ops.quantize import encode_int8
@@ -178,6 +212,10 @@ class SignatureService:
                 d2 = pairwise_l2_int8(codes, *gallery)
             else:
                 d2 = pairwise_l2(codes, gallery)
+            # dead slots (capacity padding + removed identities) carry a
+            # +1e12 bias — excluded from any top-k while k <= live rows,
+            # with no shape/static-arg change when the gallery mutates
+            d2 = d2 + gallery_bias[None, :]
             neg, idx = jax.lax.top_k(-d2, k)
             votes = jax.nn.one_hot(gallery_dense[idx], n_classes,
                                    dtype=jnp.float32)
@@ -197,52 +235,207 @@ class SignatureService:
 
         self._encode_raw = _encode_raw
 
+        # device-side gallery row appends for enroll(): only the new rows
+        # cross H2D; the buffer is donated so the update is in-place on TPU.
+        # Shapes are (capacity, ...) x (bucket, ...), so steady-state
+        # enrollment reuses one executable per bucket size.
+        def _constrain(x):
+            if self._row_sharding is not None:
+                x = jax.lax.with_sharding_constraint(x, self._row_sharding)
+            return x
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _append_f32(buf, rows, pos):
+            return _constrain(
+                jax.lax.dynamic_update_slice(buf, rows, (pos, 0)))
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def _append_i8(q, scale, g2, q_r, scale_r, g2_r, pos):
+            return (_constrain(
+                        jax.lax.dynamic_update_slice(q, q_r, (pos, 0))),
+                    _constrain(
+                        jax.lax.dynamic_update_slice(scale, scale_r, (pos,))),
+                    _constrain(
+                        jax.lax.dynamic_update_slice(g2, g2_r, (pos,))))
+
+        self._append_f32 = _append_f32
+        self._append_i8 = _append_i8
+
     # ------------------------------------------------------------------
     def set_gallery(self, codes: np.ndarray, labels: np.ndarray,
                     warmup: bool = False) -> None:
-        """warmup=True precompiles every query bucket right away, so the
+        """Install a fresh gallery (replacing any previous one).
+
+        warmup=True precompiles every query bucket right away, so the
         first live query is steady-state (a cold compile through the
         remote-tunnel backend costs minutes)."""
-        self._ulabels, dense = np.unique(np.asarray(labels),
-                                         return_inverse=True)
-        self._gallery_size = int(len(codes))
-        dense = dense.astype(np.int32)
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-            axis = self.mesh.axis_names[0]
-            row_sh = NamedSharding(self.mesh, PartitionSpec(axis))
-            nshards = self.mesh.shape[axis]
-            if self.gallery_dtype == "int8":
-                from ugaitnet_tpu.ops.knn import (pad_gallery_int8,
-                                                  quantize_gallery)
-                q, scale, g2 = quantize_gallery(codes)
-                q, scale, g2, dense = pad_gallery_int8(q, scale, g2, dense,
-                                                       nshards)
-                self._gallery_codes = tuple(
-                    jax.device_put(jnp.asarray(a), row_sh)
-                    for a in (q, scale, g2))
-            else:
-                g = np.asarray(codes, np.float32)
-                pad = (-len(g)) % nshards
-                if pad:  # +inf-distance sentinels; never reach a top-k
-                    g = np.concatenate(
-                        [g, np.full((pad, g.shape[1]), 1e6, np.float32)])
-                    dense = np.concatenate([dense, np.zeros(pad, np.int32)])
-                self._gallery_codes = jax.device_put(jnp.asarray(g), row_sh)
-            self._gallery_dense = jax.device_put(jnp.asarray(dense), row_sh)
-            if warmup:
-                self.warmup()
-            return
-        if self.gallery_dtype == "int8":
-            from ugaitnet_tpu.ops.knn import quantize_gallery
-            q, scale, g2 = quantize_gallery(codes)
-            self._gallery_codes = (jnp.asarray(q),
-                                   jnp.asarray(scale), jnp.asarray(g2))
-        else:
-            self._gallery_codes = jnp.asarray(codes, jnp.float32)
-        self._gallery_dense = jnp.asarray(dense)
+        codes = np.asarray(codes, np.float32)
+        labels = np.asarray(labels)
+        if len(codes) == 0:
+            raise ValueError("gallery must have at least one code")
+        self._host_codes = codes
+        self._host_labels = labels
+        self._live = np.ones(len(codes), bool)
+        self._install(self._fit_capacity(len(codes)),
+                      _next_pow2(len(np.unique(labels))))
         if warmup:
             self.warmup()
+
+    # -- capacity machinery --------------------------------------------
+    def _fit_capacity(self, rows: int) -> int:
+        cap = _next_pow2(rows)
+        if self.mesh is not None:  # row-sharding must divide evenly
+            n = self.mesh.shape[self.mesh.axis_names[0]]
+            cap += (-cap) % n
+        return cap
+
+    def _put_rows(self, arr: np.ndarray) -> jax.Array:
+        x = jnp.asarray(arr)
+        if self._row_sharding is not None:
+            x = jax.device_put(x, self._row_sharding)
+        return x
+
+    def _install(self, capacity: int, label_capacity: int) -> None:
+        """(Re)build the device buffers at the given capacities, compacting
+        tombstoned slots out of the host masters.  This is the only path
+        that changes traced shapes / static args — it runs once per
+        capacity doubling, never per enroll/remove."""
+        self._host_codes = self._host_codes[self._live]
+        self._host_labels = self._host_labels[self._live]
+        self._live = np.ones(len(self._host_codes), bool)
+        self._rows_used = len(self._host_codes)
+        self._capacity = capacity
+        self._label_capacity = label_capacity
+        codes = self._host_codes
+        pad = capacity - len(codes)
+        if self.gallery_dtype == "int8":
+            from ugaitnet_tpu.ops.knn import quantize_gallery
+            # per-row quantization is shard- and append-independent, so
+            # incremental enrolls match a full requant exactly
+            q, scale, g2 = quantize_gallery(codes)
+            if pad:  # dead slots are excluded by the bias vector
+                q = np.concatenate([q, np.zeros((pad, q.shape[1]), np.int8)])
+                scale = np.concatenate([scale, np.ones(pad, np.float32)])
+                g2 = np.concatenate([g2, np.zeros(pad, np.float32)])
+            self._gallery_codes = tuple(self._put_rows(a)
+                                        for a in (q, scale, g2))
+        else:
+            g = codes
+            if pad:
+                g = np.concatenate(
+                    [g, np.zeros((pad, g.shape[1]), np.float32)])
+            self._gallery_codes = self._put_rows(g)
+        self._refresh_meta()
+
+    def _refresh_meta(self) -> None:
+        """Recompute + upload the dense-label and bias vectors from the host
+        masters (4/8 bytes per row — negligible next to the code rows).
+        Dense ids come from sorted np.unique over LIVE labels, so tie-break
+        order always matches a freshly built service."""
+        live_idx = np.flatnonzero(self._live)
+        self._ulabels, dense_live = np.unique(self._host_labels[live_idx],
+                                              return_inverse=True)
+        if len(self._ulabels) > self._label_capacity:
+            raise AssertionError("class capacity underflow — enroll() must "
+                                 "grow label_capacity before refreshing")
+        dense = np.zeros(self._capacity, np.int32)
+        dense[live_idx] = dense_live.astype(np.int32)
+        bias = np.full(self._capacity, 1e12, np.float32)
+        bias[live_idx] = 0.0
+        self._gallery_dense = self._put_rows(dense)
+        self._gallery_bias = self._put_rows(bias)
+        self._gallery_size = int(len(live_idx))
+
+    # -- incremental enrollment ----------------------------------------
+    def enroll(self, codes: np.ndarray, labels: np.ndarray) -> None:
+        """Append identities to the live gallery.
+
+        Steady state (fits current capacities): new code rows are written
+        device-side with dynamic_update_slice — only the new rows cross
+        H2D, no traced shape or static argument changes, so NO recompile
+        happens (pinned by tests/test_serving.py).  When row or class
+        capacity is exceeded the gallery rebuilds at the doubled capacity
+        (one recompile, amortized log2(G) over a gallery's life).
+        """
+        codes = np.asarray(codes, np.float32)
+        labels = np.asarray(labels)
+        if len(codes) != len(labels):
+            raise ValueError(f"{len(codes)} codes vs {len(labels)} labels")
+        if len(codes) == 0:
+            return
+        if self._host_codes is None:
+            self.set_gallery(codes, labels)
+            return
+        n = len(codes)
+        live_labels = self._host_labels[:self._rows_used][self._live]
+        nuniq = len(np.unique(np.concatenate([live_labels, labels])))
+        # chunk plan: each chunk pads to a query bucket so enrollment
+        # compiles at most len(buckets) append executables, ever
+        top = self.buckets[-1]
+        starts = list(range(0, n, top))
+        last_nb = self._bucket(n - starts[-1])
+        in_place = (self._rows_used + n <= self._capacity
+                    and self._rows_used + starts[-1] + last_nb
+                    <= self._capacity
+                    and nuniq <= self._label_capacity)
+        self._host_codes = np.concatenate([self._host_codes, codes])
+        self._host_labels = np.concatenate([self._host_labels, labels])
+        self._live = np.concatenate([self._live, np.ones(n, bool)])
+        if not in_place:
+            self._install(self._fit_capacity(int(self._live.sum())),
+                          _next_pow2(nuniq))
+            return
+        for s in starts:
+            rows = codes[s:s + top]
+            nb = self._bucket(len(rows))
+            pad = nb - len(rows)
+            pos = jnp.int32(self._rows_used + s)
+            if self.gallery_dtype == "int8":
+                from ugaitnet_tpu.ops.knn import quantize_gallery
+                q, scale, g2 = quantize_gallery(rows)
+                if pad:  # pad slots stay dead via the bias vector
+                    q = np.concatenate(
+                        [q, np.zeros((pad, q.shape[1]), np.int8)])
+                    scale = np.concatenate([scale, np.ones(pad, np.float32)])
+                    g2 = np.concatenate([g2, np.zeros(pad, np.float32)])
+                self._gallery_codes = self._append_i8(
+                    *self._gallery_codes, jnp.asarray(q), jnp.asarray(scale),
+                    jnp.asarray(g2), pos)
+            else:
+                r = rows
+                if pad:
+                    r = np.concatenate(
+                        [r, np.zeros((pad, r.shape[1]), np.float32)])
+                self._gallery_codes = self._append_f32(
+                    self._gallery_codes, jnp.asarray(r), pos)
+        self._rows_used += n
+        self._refresh_meta()
+
+    def enroll_raw(self, raw: Dict[str, np.ndarray],
+                   labels: np.ndarray) -> None:
+        """Encode raw clip volumes with this service's (bucketed, warmed)
+        encode path and enroll the resulting signatures."""
+        self.enroll(self.encode_raw(raw), labels)
+
+    def remove(self, labels) -> int:
+        """Tombstone every gallery row whose label is in `labels`.
+
+        Pure metadata: flips (capacity,) bias entries to +1e12 and refreshes
+        the dense-label map — the code rows stay in place (compacted out at
+        the next capacity rebuild), and nothing recompiles.  Returns the
+        number of rows removed."""
+        labs = np.atleast_1d(np.asarray(labels))
+        if self._host_codes is None:
+            raise RuntimeError("no gallery set")
+        hit = np.isin(self._host_labels, labs) & self._live
+        if not hit.any():
+            return 0
+        if hit.sum() == self._live.sum():
+            raise ValueError("cannot remove the entire gallery — use "
+                             "set_gallery to install a new one")
+        self._live &= ~hit
+        self._refresh_meta()
+        return int(hit.sum())
 
     def build_gallery(self, ds: GaitDataset, batch_size: int = 128,
                       warmup: bool = False) -> None:
@@ -297,28 +490,8 @@ class SignatureService:
                 return b
         raise AssertionError("identify_raw chunks n > max bucket")
 
-    def identify_raw(self, raw: Dict[str, np.ndarray]
-                     ) -> Tuple[np.ndarray, np.ndarray]:
-        """raw: {"raw_<mod>": (N, T*C, H, W) quantized volumes,
-                 optional "present_<mod>": (N,)}. Returns (labels, (N, k)
-        neighbor distances)."""
-        if self._gallery_codes is None:
-            raise RuntimeError("no gallery set")
-        n = next(iter(raw.values())).shape[0]
-        top = self.buckets[-1]
-        if n > top:
-            # chunk through the largest (warmed) bucket instead of
-            # compiling a fresh padded shape per oversize query — the
-            # module contract is that steady-state serving never
-            # recompiles (same strategy as ExportedEncoder.encode)
-            preds, dists = [], []
-            for s in range(0, n, top):
-                chunk = {k: np.asarray(v)[s:s + top]
-                         for k, v in raw.items()}
-                p, d = self.identify_raw(chunk)
-                preds.append(p)
-                dists.append(d)
-            return np.concatenate(preds), np.concatenate(dists)
+    def _pad_raw(self, raw: Dict[str, np.ndarray], n: int) -> Dict:
+        """Pad a raw query feed (n <= max bucket) to its query bucket."""
         nb = self._bucket(n)
         padded = {}
         for m in self.modalities:
@@ -341,9 +514,54 @@ class SignatureService:
         src = np.asarray(raw.get("source", np.zeros(n, np.int32)))
         padded["source"] = jnp.asarray(np.concatenate(
             [src, np.zeros(nb - n)]).astype(np.int32))
+        return padded
+
+    def encode_raw(self, raw: Dict[str, np.ndarray]) -> np.ndarray:
+        """Encode raw clip volumes to (N, D) signatures through the same
+        bucketed (never-recompiling) path identify_raw uses — the probe-side
+        half of the service, exposed for enroll_raw and for callers that
+        manage their own gallery."""
+        n = next(iter(raw.values())).shape[0]
+        top = self.buckets[-1]
+        if n > top:
+            return np.concatenate([
+                self.encode_raw({k: np.asarray(v)[s:s + top]
+                                 for k, v in raw.items()})
+                for s in range(0, n, top)])
+        codes = self._encode_raw(self.params, self._pad_raw(raw, n))
+        return np.asarray(codes)[:n]
+
+    def identify_raw(self, raw: Dict[str, np.ndarray]
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        """raw: {"raw_<mod>": (N, T*C, H, W) quantized volumes,
+                 optional "present_<mod>": (N,)}. Returns (labels, (N, k)
+        neighbor distances)."""
+        if self._gallery_codes is None:
+            raise RuntimeError("no gallery set")
+        n = next(iter(raw.values())).shape[0]
+        top = self.buckets[-1]
+        if n > top:
+            # chunk through the largest (warmed) bucket instead of
+            # compiling a fresh padded shape per oversize query — the
+            # module contract is that steady-state serving never
+            # recompiles (same strategy as ExportedEncoder.encode)
+            preds, dists = [], []
+            for s in range(0, n, top):
+                chunk = {k: np.asarray(v)[s:s + top]
+                         for k, v in raw.items()}
+                p, d = self.identify_raw(chunk)
+                preds.append(p)
+                dists.append(d)
+            return np.concatenate(preds), np.concatenate(dists)
+        padded = self._pad_raw(raw, n)
         k = min(self.knn, self._gallery_size)
+        # n_classes is the CLASS CAPACITY (not the live unique count), so
+        # enrolling a new identity within capacity keeps the static args
+        # stable; unused class slots never receive votes (dead rows never
+        # reach a top-k) so argmax cannot land on them
         pred, dists = self._identify(self.params, padded,
                                      self._gallery_codes,
                                      self._gallery_dense,
-                                     len(self._ulabels), k)
+                                     self._gallery_bias,
+                                     self._label_capacity, k)
         return self._ulabels[np.asarray(pred[:n])], np.asarray(dists[:n])
