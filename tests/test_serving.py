@@ -316,6 +316,34 @@ def test_enroll_remove_no_recompile(service, dtype):
     np.testing.assert_array_equal(svc.identify_raw(raw)[0], ds.labels[:6])
 
 
+@pytest.mark.parametrize("dtype", ["float32", "int8"])
+def test_identify_video_matches_eval_merged_protocol(service, dtype):
+    """identify_video = the reference's merged-video-code protocol as a
+    serving call: per-clip signatures merged (mean and max) into one video
+    code, kNN over the gallery — labels must match knn_predict over
+    _merge_codes_per_video exactly (f32), and int8 must agree on labels."""
+    from ugaitnet_tpu.ops.knn import knn_predict
+
+    ds, base = service
+    svc = base
+    if dtype == "int8":
+        svc = SignatureService(base.model, base.params, ("of", "gray"),
+                               knn=3, buckets=(4, 16), gallery_dtype=dtype)
+        svc.build_gallery(ds, batch_size=16)
+    for use_avg in (True, False):
+        for start in (0, 6, 12):
+            clips = {"raw_of": ds.modalities["of"].volumes[start:start + 3],
+                     "raw_gray":
+                         ds.modalities["gray"].volumes[start:start + 3]}
+            codes = base.encode_raw(clips)
+            merged = codes.mean(0) if use_avg else codes.max(0)
+            oracle = knn_predict(merged[None], base._host_codes,
+                                 base._host_labels, k=3)[0]
+            label, dists = svc.identify_video(clips, use_avg=use_avg)
+            assert label == oracle, (dtype, use_avg, start)
+            assert dists.shape == (3,) and np.isfinite(dists).all()
+
+
 @pytest.mark.slow
 def test_mesh_enroll_parity(service):
     """Enrollment on the mesh-sharded gallery: device-side appends write

@@ -195,16 +195,8 @@ class SignatureService:
                 self.compress_factors, self.ntype, 1, False, self._dcfg,
                 normalize=self._norm is not None)
 
-        @functools.partial(jax.jit, static_argnames=("n_classes", "k"))
-        def _identify(params, raw, gallery, gallery_dense, gallery_bias,
-                      n_classes, k):
-            vols, flags, _ = _prep(raw)
-            if self.quantized:
-                from ugaitnet_tpu.ops.quantize import encode_int8
-                codes = encode_int8(params, vols, flags, self.model.config)
-            else:
-                out = self.model.apply(params, vols, flags, train=False)
-                codes = _tap(out, self.typecode)
+        def _dist_vote(codes, gallery, gallery_dense, gallery_bias,
+                       n_classes, k):
             # distance + vote shared with the eval protocol's kNN so the
             # sklearn tie-break parity lives in one place (ops/knn.py)
             from ugaitnet_tpu.ops.knn import pairwise_l2, pairwise_l2_int8
@@ -222,7 +214,22 @@ class SignatureService:
             pred = jnp.argmax(jnp.sum(votes, axis=1), axis=1)
             return pred, jnp.sqrt(-neg)
 
+        @functools.partial(jax.jit, static_argnames=("n_classes", "k"))
+        def _identify(params, raw, gallery, gallery_dense, gallery_bias,
+                      n_classes, k):
+            vols, flags, _ = _prep(raw)
+            if self.quantized:
+                from ugaitnet_tpu.ops.quantize import encode_int8
+                codes = encode_int8(params, vols, flags, self.model.config)
+            else:
+                out = self.model.apply(params, vols, flags, train=False)
+                codes = _tap(out, self.typecode)
+            return _dist_vote(codes, gallery, gallery_dense, gallery_bias,
+                              n_classes, k)
+
         self._identify = _identify
+        self._identify_codes = jax.jit(
+            _dist_vote, static_argnames=("n_classes", "k"))
 
         @jax.jit
         def _encode_raw(params, raw):
@@ -565,3 +572,45 @@ class SignatureService:
                                      self._gallery_bias,
                                      self._label_capacity, k)
         return self._ulabels[np.asarray(pred[:n])], np.asarray(dists[:n])
+
+    def identify_codes(self, codes: np.ndarray
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        """kNN-identify precomputed (N, D) signature codes against the
+        gallery — the distance+vote half of identify_raw, bucket-padded so
+        steady-state calls never recompile."""
+        if self._gallery_codes is None:
+            raise RuntimeError("no gallery set")
+        codes = np.asarray(codes, np.float32)
+        n = len(codes)
+        top = self.buckets[-1]
+        if n > top:
+            preds, dists = zip(*(self.identify_codes(codes[s:s + top])
+                                 for s in range(0, n, top)))
+            return np.concatenate(preds), np.concatenate(dists)
+        nb = self._bucket(n)
+        if nb > n:  # zero codes: distances = |g|^2, predictions discarded
+            codes = np.concatenate(
+                [codes, np.zeros((nb - n, codes.shape[1]), np.float32)])
+        k = min(self.knn, self._gallery_size)
+        pred, dists = self._identify_codes(jnp.asarray(codes),
+                                           self._gallery_codes,
+                                           self._gallery_dense,
+                                           self._gallery_bias,
+                                           self._label_capacity, k)
+        return self._ulabels[np.asarray(pred[:n])], np.asarray(dists[:n])
+
+    def identify_video(self, raw: Dict[str, np.ndarray],
+                       use_avg: bool = True
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        """Identify one VIDEO from its subsequence clips: encode every clip,
+        merge the signatures into a single video code (mean, or max with
+        use_avg=False — the reference's averaged/maxed video protocol,
+        mains/mj_testUWYHGaitNet_open_tum.py:355-420 via
+        eval/protocol.py:_merge_codes_per_video; no re-normalization after
+        the merge, matching the eval path), and query the gallery once.
+        For video-level galleries install per-video merged codes with
+        set_gallery. Returns (label, (k,) neighbor distances)."""
+        codes = self.encode_raw(raw)
+        merged = codes.mean(axis=0) if use_avg else codes.max(axis=0)
+        labels, dists = self.identify_codes(merged[None])
+        return labels[0], dists[0]
