@@ -344,6 +344,39 @@ def test_identify_video_matches_eval_merged_protocol(service, dtype):
             assert dists.shape == (3,) and np.isfinite(dists).all()
 
 
+def test_verify_pairs_with_eer_calibration(service):
+    """1:1 verification serving: EER-calibrated threshold separates
+    same-person from different-person clip pairs, and verify_raw's
+    decisions agree with the calibration distances."""
+    ds, svc = service
+    # pairs: (clip_i, other clip of the same subject) and (clip_i, clip of
+    # a different subject) — synthetic subjects have 6 clips each
+    a_idx = np.arange(0, 24, 2)
+    same_idx = a_idx // 6 * 6 + (a_idx % 6 + 1) % 6   # same subject block
+    diff_idx = (a_idx + 6) % 24                        # next subject
+    vol = {m: ds.modalities[m].volumes for m in ("of", "gray")}
+
+    def raw(idx):
+        return {"raw_of": vol["of"][idx], "raw_gray": vol["gray"][idx]}
+
+    ca = svc.encode_raw(raw(a_idx))
+    cb = np.concatenate([svc.encode_raw(raw(same_idx)),
+                         svc.encode_raw(raw(diff_idx))])
+    ca2 = np.concatenate([ca, ca])
+    same = np.concatenate([np.ones(len(a_idx)), np.zeros(len(a_idx))])
+    eer, thr = svc.calibrate_verification(ca2, cb, same)
+    # synthetic identities are well separated: EER must be far below chance
+    assert eer < 0.25 and np.isfinite(thr)
+    d, dec = svc.verify_codes(ca2, cb, threshold=thr)
+    assert dec.mean() > 0.3 and dec.mean() < 0.7  # both classes predicted
+    # verify_raw end-to-end agrees with verify over pre-encoded codes
+    d2, dec2 = svc.verify_raw(raw(a_idx), raw(same_idx), threshold=thr)
+    np.testing.assert_allclose(d2, d[:len(a_idx)], rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(dec2, dec[:len(a_idx)])
+    with pytest.raises(ValueError, match="paired"):
+        svc.verify_codes(ca, cb)
+
+
 @pytest.mark.slow
 def test_mesh_enroll_parity(service):
     """Enrollment on the mesh-sharded gallery: device-side appends write

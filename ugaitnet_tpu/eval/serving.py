@@ -599,6 +599,46 @@ class SignatureService:
                                            self._label_capacity, k)
         return self._ulabels[np.asarray(pred[:n])], np.asarray(dists[:n])
 
+    # -- 1:1 verification ----------------------------------------------
+    def verify_codes(self, codes_a: np.ndarray, codes_b: np.ndarray,
+                     threshold: Optional[float] = None
+                     ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """1:1 verification over row-paired signatures: L2 distances, plus
+        same-person decisions when a threshold is given (host-side — the
+        pairwise distance over two (N, D) code batches is trivial next to
+        the encode).  Calibrate the threshold with
+        calibrate_verification."""
+        codes_a = np.asarray(codes_a, np.float32)
+        codes_b = np.asarray(codes_b, np.float32)
+        if codes_a.shape != codes_b.shape:
+            raise ValueError(f"paired code batches must match: "
+                             f"{codes_a.shape} vs {codes_b.shape}")
+        d = np.linalg.norm(codes_a - codes_b, axis=1)
+        return d, (d <= threshold if threshold is not None else None)
+
+    def verify_raw(self, raw_a: Dict[str, np.ndarray],
+                   raw_b: Dict[str, np.ndarray],
+                   threshold: Optional[float] = None
+                   ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """Verify that raw clip pairs show the same person: encode both
+        sides through the bucketed (never-recompiling) path and compare
+        signature distances — the deployed form of the reference's
+        verification nets + EER protocol (nets/mj_metrics.py:10-24,
+        ops/losses.py:verif_pair_loss)."""
+        return self.verify_codes(self.encode_raw(raw_a),
+                                 self.encode_raw(raw_b), threshold)
+
+    @staticmethod
+    def calibrate_verification(codes_a: np.ndarray, codes_b: np.ndarray,
+                               same: np.ndarray) -> Tuple[float, float]:
+        """EER-point threshold over labeled pairs (same=1 for same-person):
+        returns (eer, threshold) via ops/metrics.eer_verif_dist — exact
+        mj_eerVerifDist parity.  Feed the threshold to verify_raw."""
+        from ugaitnet_tpu.ops.metrics import eer_verif_dist
+        d = np.linalg.norm(np.asarray(codes_a, np.float32)
+                           - np.asarray(codes_b, np.float32), axis=1)
+        return eer_verif_dist(np.asarray(same).astype(np.int64), d)
+
     def identify_video(self, raw: Dict[str, np.ndarray],
                        use_avg: bool = True
                        ) -> Tuple[np.ndarray, np.ndarray]:
